@@ -1,0 +1,227 @@
+"""Batched dynamics-Jacobian engine: FD columns and autodiff, keypoint-driven.
+
+TPU-native replacement for the reference Differentiator
+(`/root/reference/src/Differentiator/Differentiator.cpp:8-462`) and the
+thread-pool dispatch in Optimiser::ComputeDynamicsDerivativesAtKeypoints
+(`src/Optimiser/Optimiser.cpp:239-323`).
+
+Reference semantics reproduced:
+  - state x = [pos_tangent; vel] over the task's selected state dofs; A is
+    (2*ndof, 2*ndof), B is (2*ndof, nu).
+  - central differences, eps = 1e-6 (`Optimiser.cpp:321`), with position
+    perturbations on the quaternion tangent space (mj_integratePos /
+    mj_differentiatePos analogues, `Differentiator.cpp:170,288,388`).
+  - per-dof keypoints: perturbing state dof d at time t produces A columns d
+    (pos) and ndof+d (vel), plus B column d when d < nu
+    (`Differentiator.cpp:441-457`).
+
+TPU design: the ragged per-dof keypoint sets are flattened into a single
+padded array of (time, dof) jobs of static size `budget`; one vmap over jobs
+batches every MuJoCo-equivalent stepper evaluation of the iteration into a
+single device launch — the analogue of "thousands of columns per chip".
+Invalid (padding) jobs are masked out on scatter.
+
+Because our stepper is differentiable, an exact-autodiff mode (jacfwd of the
+step function, ~2x cheaper than central FD and noise-free) is provided behind
+the same keypoint interface; FD remains the parity mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..dynamics.integrate import differentiate_pos, integrate_pos
+from ..dynamics.model import Model
+from ..dynamics.step import step_state
+from ..state.statevector import StateVector
+
+
+@struct.dataclass
+class DerivJobs:
+    """Padded flat list of (time, dof) derivative jobs."""
+
+    t: jnp.ndarray      # (budget,) int32 time indices
+    d: jnp.ndarray      # (budget,) int32 state-dof indices
+    valid: jnp.ndarray  # (budget,) bool
+
+    @property
+    def budget(self) -> int:
+        return self.t.shape[0]
+
+
+def jobs_from_mask(keypoint_mask: jnp.ndarray, budget: int) -> DerivJobs:
+    """Flatten a (H, ndof) keypoint mask into padded jobs.
+
+    `budget` is static; callers size it from the keypoint method config
+    (H*ndof for SI_1; smaller for sparser methods).  Extra keypoints beyond
+    the budget are dropped deterministically in flatten order (callers should
+    size budgets to make this impossible).
+    """
+    H, ndof = keypoint_mask.shape
+    flat = keypoint_mask.reshape(-1)
+    # stable order: all (t, d) pairs with mask=1 first
+    order = jnp.argsort(~flat, stable=True)[:budget]
+    valid = flat[order]
+    t = (order // ndof).astype(jnp.int32)
+    d = (order % ndof).astype(jnp.int32)
+    return DerivJobs(t=t, d=d, valid=valid)
+
+
+def _tangent_out(model, sv, qpos_a, qvel_a, qpos_b, qvel_b, scale):
+    """(state_b - state_a) / scale on the tangent space, over selected dofs."""
+    idx = jnp.array(sv.order)
+    dpos = differentiate_pos(model, qpos_a, qpos_b)[idx] / scale
+    dvel = (qvel_b - qvel_a)[idx] / scale
+    return jnp.concatenate([dpos, dvel])
+
+
+def fd_job_columns(
+    model: Model,
+    sv: StateVector,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    ctrl: jnp.ndarray,
+    d: jnp.ndarray,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Central-FD columns for one (state, dof) job.
+
+    Returns (colA_pos, colA_vel, colB), each (2*ndof,).  colB is only
+    meaningful when d < nu (masked by the caller on scatter).
+    """
+    nv = model.nv
+    dof_idx = jnp.array(sv.order)[d]
+    e_v = (jnp.arange(nv) == dof_idx).astype(qpos.dtype)
+
+    # --- velocity perturbation (Differentiator.cpp:226-325)
+    qp_p, qv_p = step_state(model, qpos, qvel + eps * e_v, ctrl)
+    qp_m, qv_m = step_state(model, qpos, qvel - eps * e_v, ctrl)
+    colA_vel = _tangent_out(model, sv, qp_m, qv_m, qp_p, qv_p, 2 * eps)
+
+    # --- position perturbation on the tangent space (:328-428)
+    qpos_p = integrate_pos(model, qpos, eps * e_v, 1.0)
+    qpos_m = integrate_pos(model, qpos, -eps * e_v, 1.0)
+    qp_p, qv_p = step_state(model, qpos_p, qvel, ctrl)
+    qp_m, qv_m = step_state(model, qpos_m, qvel, ctrl)
+    colA_pos = _tangent_out(model, sv, qp_m, qv_m, qp_p, qv_p, 2 * eps)
+
+    # --- control perturbation (:79-223); ctrl index == dof index (<nu)
+    if model.nu > 0:
+        cidx = jnp.clip(d, 0, model.nu - 1)
+        e_u = (jnp.arange(model.nu) == cidx).astype(qpos.dtype)
+        qp_p, qv_p = step_state(model, qpos, qvel, ctrl + eps * e_u)
+        qp_m, qv_m = step_state(model, qpos, qvel, ctrl - eps * e_u)
+        colB = _tangent_out(model, sv, qp_m, qv_m, qp_p, qv_p, 2 * eps)
+    else:
+        colB = jnp.zeros((2 * sv.ndof,), dtype=qpos.dtype)
+    return colA_pos, colA_vel, colB
+
+
+def ad_job_columns(
+    model: Model,
+    sv: StateVector,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    ctrl: jnp.ndarray,
+    d: jnp.ndarray,
+    eps: float = 1e-6,  # unused; kept for interface parity
+):
+    """Exact forward-mode JVP columns for one job (autodiff mode)."""
+    nv = model.nv
+    dof_idx = jnp.array(sv.order)[d]
+    e_v = (jnp.arange(nv) == dof_idx).astype(qpos.dtype)
+
+    def f_vel(v):
+        qp, qv = step_state(model, qpos, v, ctrl)
+        return _tangent_out(model, sv, qpos * 0 + qpos, qvel * 0, qp, qv, 1.0)
+
+    # NOTE: tangent output is relative to fixed base (qpos reference cancels in
+    # the directional derivative).
+    _, colA_vel = jax.jvp(
+        lambda v: _step_tangent(model, sv, qpos, v, ctrl), (qvel,), (e_v,)
+    )
+    _, colA_pos = jax.jvp(
+        lambda dp: _step_tangent(
+            model, sv, integrate_pos(model, qpos, dp, 1.0), qvel, ctrl
+        ),
+        (jnp.zeros((nv,), dtype=qpos.dtype),),
+        (e_v,),
+    )
+    if model.nu > 0:
+        cidx = jnp.clip(d, 0, model.nu - 1)
+        e_u = (jnp.arange(model.nu) == cidx).astype(qpos.dtype)
+        _, colB = jax.jvp(
+            lambda u: _step_tangent(model, sv, qpos, qvel, u), (ctrl,), (e_u,)
+        )
+    else:
+        colB = jnp.zeros((2 * sv.ndof,), dtype=qpos.dtype)
+    return colA_pos, colA_vel, colB
+
+
+def _step_tangent(model, sv, qpos, qvel, ctrl):
+    """Next state expressed in tangent coords about the model reference."""
+    qp, qv = step_state(model, qpos, qvel, ctrl)
+    idx = jnp.array(sv.order)
+    dpos = differentiate_pos(model, model.qpos0, qp)[idx]
+    return jnp.concatenate([dpos, qv[idx]])
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _noop(x, mode):  # pragma: no cover
+    return x
+
+
+def keypoint_jacobians(
+    model: Model,
+    sv: StateVector,
+    qpos_traj: jnp.ndarray,   # (H, nq)
+    qvel_traj: jnp.ndarray,   # (H, nv)
+    ctrl_traj: jnp.ndarray,   # (H, nu)
+    jobs: DerivJobs,
+    eps: float = 1e-6,
+    mode: str = "fd",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compute A/B columns at all keypoint jobs in one batched launch.
+
+    Returns:
+      A_kp: (H, 2n, 2n) with computed columns scattered in (others zero)
+      B_kp: (H, 2n, nu)
+      touched: (H, ndof) 1.0 where columns for (t, d) were computed
+    """
+    n = sv.ndof
+    H = qpos_traj.shape[0]
+    col_fn = fd_job_columns if mode == "fd" else ad_job_columns
+
+    def one(job_t, job_d):
+        return col_fn(
+            model,
+            sv,
+            qpos_traj[job_t],
+            qvel_traj[job_t],
+            ctrl_traj[job_t],
+            job_d,
+            eps,
+        )
+
+    colA_pos, colA_vel, colB = jax.vmap(one)(jobs.t, jobs.d)  # (budget, 2n)
+
+    dtype = qpos_traj.dtype
+    vmask = jobs.valid.astype(dtype)[:, None]
+    A_kp = jnp.zeros((H, 2 * n, 2 * n), dtype=dtype)
+    B_kp = jnp.zeros((H, 2 * n, model.nu), dtype=dtype)
+    A_kp = A_kp.at[jobs.t, :, jobs.d].add(colA_pos * vmask)
+    A_kp = A_kp.at[jobs.t, :, n + jobs.d].add(colA_vel * vmask)
+    if model.nu > 0:
+        bvalid = jobs.valid & (jobs.d < model.nu)
+        B_kp = B_kp.at[jobs.t, :, jnp.clip(jobs.d, 0, model.nu - 1)].add(
+            colB * bvalid.astype(dtype)[:, None]
+        )
+    touched = jnp.zeros((H, n), dtype=dtype).at[jobs.t, jobs.d].max(
+        jobs.valid.astype(dtype)
+    )
+    return A_kp, B_kp, touched

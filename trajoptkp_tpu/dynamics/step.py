@@ -1,0 +1,65 @@
+"""The pure step function: the heart of the TPU engine.
+
+Replaces mj_step for the trajectory optimiser.  Semantics mirror MuJoCo's
+default pipeline (semi-implicit Euler with implicit joint damping,
+`mj_EulerSkip`): the reference's whole FD machinery differentiates exactly
+this function (`/root/reference/src/Differentiator/Differentiator.cpp:8-462`),
+so matching its integrator semantics is what makes A/B Jacobians comparable.
+
+Everything here is jit/vmap-safe with static shapes; `step` is the unit that
+gets batched over FD perturbation columns, line-search alphas, MPC scenario
+instances, and sharded over the device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .constraint import constraint_force
+from .fk import forward_kinematics
+from .integrate import integrate_pos
+from .model import Data, Model
+from .smooth import fwd_velocity_smooth
+
+
+def forward(model: Model, data: Data) -> Data:
+    """Forward dynamics: fill FK products, forces, and qacc (mj_forward)."""
+    data = forward_kinematics(model, data)
+    data = fwd_velocity_smooth(model, data)
+    qfrc_smooth = data.qfrc_passive + data.qfrc_actuator - data.qfrc_bias
+    data = constraint_force(model, data, qfrc_smooth)
+    rhs = qfrc_smooth + data.qfrc_constraint
+    L = jax.scipy.linalg.cho_factor(data.qM)
+    qacc = jax.scipy.linalg.cho_solve(L, rhs)
+    return data.replace(qacc=qacc)
+
+
+def step(model: Model, data: Data) -> Data:
+    """Advance one timestep (mj_step: forward + Euler w/ implicit damping)."""
+    data = forward(model, data)
+    h = model.timestep
+    qfrc_smooth = data.qfrc_passive + data.qfrc_actuator - data.qfrc_bias
+    rhs = qfrc_smooth + data.qfrc_constraint
+    # implicit joint damping: (M + h D) qacc = f   (mj_Euler semantics)
+    MhD = data.qM + h * jnp.diag(model.dof_damping)
+    L = jax.scipy.linalg.cho_factor(MhD)
+    qacc = jax.scipy.linalg.cho_solve(L, rhs)
+    qvel_new = data.qvel + h * qacc
+    qpos_new = integrate_pos(model, data.qpos, qvel_new, h)
+    return data.replace(
+        qpos=qpos_new, qvel=qvel_new, qacc=qacc, time=data.time + h
+    )
+
+
+def step_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl: jnp.ndarray):
+    """Functional convenience wrapper: (qpos, qvel, ctrl) -> (qpos', qvel').
+
+    This is the signature the derivative engine vmaps over (the analogue of
+    the reference's `mj_stepSkip` FD kernel).
+    """
+    data = Data(
+        qpos=qpos, qvel=qvel, ctrl=ctrl, time=jnp.zeros((), dtype=qpos.dtype)
+    )
+    out = step(model, data)
+    return out.qpos, out.qvel
