@@ -1,0 +1,105 @@
+"""Dynamics-Jacobian oracle tests.
+
+The TPU analogue of the reference's Derivs_Test
+(`/root/reference/src/tests/Derivs_Test.cpp:12-122`): our batched FD engine
+vs MuJoCo's own mjd_transitionFD, element-wise within 1e-5 — plus agreement
+between FD mode and the exact autodiff mode our differentiable stepper allows.
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from trajoptkp_tpu.dynamics import load_mjcf_string
+from trajoptkp_tpu.derivs import jobs_from_mask, keypoint_jacobians
+from trajoptkp_tpu.state import full_state_vector
+
+from fixtures import ALL
+
+
+def _setup(name, seed=0, H=5):
+    mjm = mujoco.MjModel.from_xml_string(ALL[name])
+    mjd = mujoco.MjData(mjm)
+    model = load_mjcf_string(ALL[name])
+    sv = full_state_vector(model)
+    rng = np.random.default_rng(seed)
+    qpos = np.tile(mjm.qpos0, (H, 1)) + 0.2 * rng.standard_normal((H, mjm.nq))
+    for j in range(mjm.njnt):
+        t = mjm.jnt_type[j]
+        adr = mjm.jnt_qposadr[j]
+        if t in (mujoco.mjtJoint.mjJNT_BALL, mujoco.mjtJoint.mjJNT_FREE):
+            off = adr if t == mujoco.mjtJoint.mjJNT_BALL else adr + 3
+            q = rng.standard_normal((H, 4))
+            qpos[:, off : off + 4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qvel = 0.3 * rng.standard_normal((H, mjm.nv))
+    ctrl = 0.5 * rng.standard_normal((H, mjm.nu))
+    return mjm, mjd, model, sv, qpos, qvel, ctrl
+
+
+def _oracle_AB(mjm, mjd, qpos, qvel, ctrl, eps=1e-6):
+    nv, nu = mjm.nv, mjm.nu
+    A = np.zeros((2 * nv, 2 * nv))
+    B = np.zeros((2 * nv, nu))
+    mjd.qpos[:] = qpos
+    mjd.qvel[:] = qvel
+    mjd.ctrl[:] = ctrl
+    mujoco.mjd_transitionFD(mjm, mjd, eps, 1, A, B, None, None)
+    return A, B
+
+
+@pytest.mark.parametrize("name", ["acrobot", "mixed", "free_body"])
+@pytest.mark.parametrize("mode", ["fd", "ad"])
+def test_jacobians_vs_mujoco_oracle(name, mode):
+    mjm, mjd, model, sv, qpos, qvel, ctrl = _setup(name)
+    H = qpos.shape[0]
+    mask = jnp.ones((H, sv.ndof), dtype=bool)
+    jobs = jobs_from_mask(mask, H * sv.ndof)
+    A, B, touched = jax.jit(
+        lambda qp, qv, ct: keypoint_jacobians(
+            model, sv, qp, qv, ct, jobs, mode=mode
+        )
+    )(jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl))
+    A, B, touched = np.asarray(A), np.asarray(B), np.asarray(touched)
+    assert touched.all()
+    for t in range(H):
+        A_mj, B_mj = _oracle_AB(mjm, mjd, qpos[t], qvel[t], ctrl[t])
+        np.testing.assert_allclose(A[t], A_mj, atol=2e-5, err_msg=f"A t={t}")
+        np.testing.assert_allclose(B[t], B_mj, atol=2e-5, err_msg=f"B t={t}")
+
+
+def test_fd_vs_autodiff_agreement():
+    _, _, model, sv, qpos, qvel, ctrl = _setup("acrobot", seed=3, H=4)
+    H = qpos.shape[0]
+    mask = jnp.ones((H, sv.ndof), dtype=bool)
+    jobs = jobs_from_mask(mask, H * sv.ndof)
+    args = (jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl))
+    A_fd, B_fd, _ = keypoint_jacobians(model, sv, *args, jobs, mode="fd")
+    A_ad, B_ad, _ = keypoint_jacobians(model, sv, *args, jobs, mode="ad")
+    np.testing.assert_allclose(np.asarray(A_fd), np.asarray(A_ad), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(B_fd), np.asarray(B_ad), atol=1e-6)
+
+
+def test_jobs_from_mask_partial():
+    mask = jnp.zeros((6, 2), dtype=bool).at[jnp.array([0, 3, 5])].set(True)
+    jobs = jobs_from_mask(mask, 12)
+    assert int(jobs.valid.sum()) == 6
+    got = {(int(t), int(d)) for t, d, v in zip(jobs.t, jobs.d, jobs.valid) if v}
+    assert got == {(0, 0), (0, 1), (3, 0), (3, 1), (5, 0), (5, 1)}
+
+
+def test_partial_jacobians_touch_only_keypoints():
+    _, _, model, sv, qpos, qvel, ctrl = _setup("acrobot", seed=5, H=8)
+    mask = jnp.zeros((8, sv.ndof), dtype=bool)
+    mask = mask.at[0].set(True).at[7].set(True).at[3, 0].set(True)
+    jobs = jobs_from_mask(mask, 8)
+    A, B, touched = keypoint_jacobians(
+        model, sv, jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl), jobs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(touched) > 0, np.asarray(mask)
+    )
+    # untouched time/dof columns are zero
+    A = np.asarray(A)
+    assert np.all(A[1][:, [1, 3]] == 0)

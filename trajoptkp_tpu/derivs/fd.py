@@ -131,49 +131,38 @@ def ad_job_columns(
     d: jnp.ndarray,
     eps: float = 1e-6,  # unused; kept for interface parity
 ):
-    """Exact forward-mode JVP columns for one job (autodiff mode)."""
+    """Exact forward-mode JVP columns for one job (autodiff mode).
+
+    Matches FD semantics in the eps->0 limit: output tangent coordinates are
+    taken *about the nominal next state* (FD differences the +/- outputs,
+    which linearises about the same point), so quaternion log-map curvature
+    does not skew the Jacobian at large rotations.
+    """
     nv = model.nv
     dof_idx = jnp.array(sv.order)[d]
     e_v = (jnp.arange(nv) == dof_idx).astype(qpos.dtype)
+    qp_nom, qv_nom = step_state(model, qpos, qvel, ctrl)
 
-    def f_vel(v):
-        qp, qv = step_state(model, qpos, v, ctrl)
-        return _tangent_out(model, sv, qpos * 0 + qpos, qvel * 0, qp, qv, 1.0)
+    def out(dpos, dvel, du):
+        qp, qv = step_state(
+            model,
+            integrate_pos(model, qpos, dpos, 1.0),
+            qvel + dvel,
+            ctrl + du,
+        )
+        return _tangent_out(model, sv, qp_nom, qv_nom, qp, qv, 1.0)
 
-    # NOTE: tangent output is relative to fixed base (qpos reference cancels in
-    # the directional derivative).
-    _, colA_vel = jax.jvp(
-        lambda v: _step_tangent(model, sv, qpos, v, ctrl), (qvel,), (e_v,)
-    )
-    _, colA_pos = jax.jvp(
-        lambda dp: _step_tangent(
-            model, sv, integrate_pos(model, qpos, dp, 1.0), qvel, ctrl
-        ),
-        (jnp.zeros((nv,), dtype=qpos.dtype),),
-        (e_v,),
-    )
+    zv = jnp.zeros((nv,), dtype=qpos.dtype)
+    zu = jnp.zeros((model.nu,), dtype=qpos.dtype)
+    _, colA_pos = jax.jvp(lambda p: out(p, zv, zu), (zv,), (e_v,))
+    _, colA_vel = jax.jvp(lambda v: out(zv, v, zu), (zv,), (e_v,))
     if model.nu > 0:
         cidx = jnp.clip(d, 0, model.nu - 1)
         e_u = (jnp.arange(model.nu) == cidx).astype(qpos.dtype)
-        _, colB = jax.jvp(
-            lambda u: _step_tangent(model, sv, qpos, qvel, u), (ctrl,), (e_u,)
-        )
+        _, colB = jax.jvp(lambda u: out(zv, zv, u), (zu,), (e_u,))
     else:
         colB = jnp.zeros((2 * sv.ndof,), dtype=qpos.dtype)
     return colA_pos, colA_vel, colB
-
-
-def _step_tangent(model, sv, qpos, qvel, ctrl):
-    """Next state expressed in tangent coords about the model reference."""
-    qp, qv = step_state(model, qpos, qvel, ctrl)
-    idx = jnp.array(sv.order)
-    dpos = differentiate_pos(model, model.qpos0, qp)[idx]
-    return jnp.concatenate([dpos, qv[idx]])
-
-
-@partial(jax.jit, static_argnames=("mode",))
-def _noop(x, mode):  # pragma: no cover
-    return x
 
 
 def keypoint_jacobians(

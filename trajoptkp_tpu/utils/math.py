@@ -159,29 +159,41 @@ def mat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_exp(v: jnp.ndarray) -> jnp.ndarray:
-    """Rotation-vector (3,) -> quaternion. exp map, MuJoCo mju_quatIntegrate core."""
-    angle = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    small = angle < 1e-9
-    safe = jnp.where(small, 1.0, angle)
-    axis = v / safe
+    """Rotation-vector (3,) -> quaternion. exp map, MuJoCo mju_quatIntegrate core.
+
+    Autodiff-safe at v = 0 (double-where guards the norm so jvp/vjp stay
+    finite — required by the exact-Jacobian derivative mode).
+    """
+    sumsq = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = sumsq < 1e-18
+    angle = jnp.sqrt(jnp.where(small, 1.0, sumsq))
     half = 0.5 * angle
-    w = jnp.cos(half)
-    xyz = jnp.where(small, 0.5 * v, axis * jnp.sin(half))
+    # sin(half)/angle is smooth; use series 0.5 - angle^2/48 near zero
+    sinc_half = jnp.where(
+        small, 0.5 - sumsq / 48.0, jnp.sin(half) / angle
+    )
+    w = jnp.where(small, 1.0 - sumsq / 8.0, jnp.cos(half))
+    xyz = v * sinc_half
     return jnp.concatenate([w, xyz], axis=-1)
 
 
 def quat_log(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion -> rotation vector (3,). Inverse of quat_exp (reference quat2Axis)."""
+    """Quaternion -> rotation vector (3,). Inverse of quat_exp (reference quat2Axis).
+
+    Autodiff-safe at the identity quaternion (double-where guarded norm).
+    """
     q = quat_normalize(q)
     # force w >= 0 to take the short geodesic
     q = jnp.where(q[..., :1] < 0, -q, q)
-    w = jnp.clip(q[..., 0], -1.0, 1.0)
+    w = jnp.clip(q[..., 0:1], -1.0, 1.0)
     xyz = q[..., 1:]
-    sin_half = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    angle = 2.0 * jnp.arctan2(sin_half[..., 0], w)[..., None]
-    small = sin_half < 1e-9
-    axis = xyz / jnp.where(small, 1.0, sin_half)
-    return jnp.where(small, 2.0 * xyz, axis * angle)
+    sumsq = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    small = sumsq < 1e-18
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, sumsq))
+    angle = 2.0 * jnp.arctan2(sin_half, w)
+    # angle/sin_half is smooth near 0: series 2 + sumsq/3 (w ~ 1)
+    scale = jnp.where(small, 2.0 + sumsq / 3.0, angle / sin_half)
+    return xyz * scale
 
 
 def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt) -> jnp.ndarray:
