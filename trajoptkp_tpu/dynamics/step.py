@@ -35,9 +35,12 @@ def forward(model: Model, data: Data) -> Data:
     return data.replace(qacc=qacc)
 
 
-def step(model: Model, data: Data) -> Data:
-    """Advance one timestep (mj_step: forward + Euler w/ implicit damping)."""
-    data = forward(model, data)
+def advance(model: Model, data: Data) -> Data:
+    """Euler integration given forward() products (mj_Euler semantics).
+
+    Split from `step` so rollouts can evaluate residuals on the forward()-
+    filled Data (FK products at x_t) without recomputing kinematics.
+    """
     h = model.timestep
     qfrc_smooth = data.qfrc_passive + data.qfrc_actuator - data.qfrc_bias
     rhs = qfrc_smooth + data.qfrc_constraint
@@ -50,6 +53,11 @@ def step(model: Model, data: Data) -> Data:
     return data.replace(
         qpos=qpos_new, qvel=qvel_new, qacc=qacc, time=data.time + h
     )
+
+
+def step(model: Model, data: Data) -> Data:
+    """Advance one timestep (mj_step: forward + Euler w/ implicit damping)."""
+    return advance(model, forward(model, data))
 
 
 def step_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl: jnp.ndarray):

@@ -1,0 +1,3 @@
+from .ilqr import (ILQRConfig, ILQRStats, Trajectory, optimise, rollout,  # noqa: F401
+                   backward_pass, backward_pass_lambda_loop, forward_pass,
+                   compute_derivatives, default_alphas, make_phase_fns)

@@ -1,0 +1,444 @@
+"""iLQR with keypoint derivatives: the optimisation core.
+
+TPU-native re-design of the reference iLQR
+(`/root/reference/src/Optimiser/iLQR.cpp`) with reproduced semantics:
+
+  - rollout & cost          (`iLQR.cpp:202-267`, consistent c(x_t,u_t) form)
+  - Riccati backward pass with Q_uu + lambda*I regularisation, V_xx
+    symmetrisation, delta_J accumulation          (`iLQR.cpp:535-634`)
+  - lambda schedule x/÷10 in [1e-4, 10], PD-failure escalation and
+    lambda-exit                                   (`iLQR.cpp:636-657`)
+  - batched line search over alphas (i/6)^2, i=1..6, clamped controls,
+    quaternion-aware state feedback               (`iLQR.cpp:466-470,824-934`)
+  - convergence (old-new)/new < 0.02              (`Optimiser.cpp:30-37`)
+  - keypoint-driven derivative pipeline           (`Optimiser.cpp:80-169`)
+
+TPU mapping: the 6 std::async line-search threads become one vmap axis; the
+FD thread pool becomes the flat job batch of derivs/fd.py; the per-thread
+mjData replicas vanish (pure functions).  Rollout and Riccati recursions are
+lax.scans (BP is <5% of runtime in the reference baselines, SURVEY §6).
+
+Divergences (deliberate):
+  - PD check on every step via Cholesky-NaN detection instead of every 100th
+    step (`iLQR.cpp:540-594`) — stricter, no timing cost on TPU.
+  - initial-rollout cost uses the same c(x_t, u_t) convention as the line
+    search (the reference costs post-step states in its initial rollout only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..derivs.fd import jobs_from_mask, keypoint_jacobians
+from ..dynamics.model import Data
+from ..dynamics.step import advance, forward
+from ..keypoints.interpolate import interpolate_derivatives
+from ..keypoints.methods import generate_keypoints, percentage_derivs
+from ..state.statevector import to_tangent
+from ..tasks.base import (Task, control_limits, cost_derivatives_gn,
+                          residual_derivatives)
+
+
+@struct.dataclass
+class ILQRConfig:
+    max_iterations: int = struct.field(pytree_node=False, default=10)
+    min_iterations: int = struct.field(pytree_node=False, default=5)
+    num_parallel_rollouts: int = struct.field(pytree_node=False, default=6)
+    deriv_mode: str = struct.field(pytree_node=False, default="fd")
+    fd_eps: float = struct.field(pytree_node=False, default=1e-6)
+    lambda_init: float = struct.field(pytree_node=False, default=0.1)
+    lambda_factor: float = struct.field(pytree_node=False, default=10.0)
+    min_lambda: float = struct.field(pytree_node=False, default=1e-4)
+    max_lambda: float = struct.field(pytree_node=False, default=10.0)
+    eps_converge: float = struct.field(pytree_node=False, default=0.02)
+    deriv_budget: Optional[int] = struct.field(pytree_node=False, default=None)
+
+
+class Trajectory(NamedTuple):
+    """Nominal trajectory storage (replaces the mjData snapshot list,
+    `include/MuJoCoHelper.h:118-123`)."""
+
+    qpos: jnp.ndarray   # (H+1, nq)
+    qvel: jnp.ndarray   # (H+1, nv)
+    ctrl: jnp.ndarray   # (H, nu)
+    costs: jnp.ndarray  # (H,)
+
+    @property
+    def total_cost(self):
+        return jnp.sum(self.costs)
+
+
+def default_alphas(n: int, dtype=jnp.float64) -> jnp.ndarray:
+    """(i/n)^2 for i = 1..n (`iLQR.cpp:466-470`)."""
+    i = jnp.arange(1, n + 1, dtype=dtype)
+    return (i / n) ** 2
+
+
+# ---------------------------------------------------------------------------
+# rollout
+# ---------------------------------------------------------------------------
+
+
+def _step_costs(task: Task, r_all: jnp.ndarray) -> jnp.ndarray:
+    """(H, nres) residuals -> (H,) costs, terminal weights at t = H-1."""
+    H = r_all.shape[0]
+    w = jnp.where(
+        (jnp.arange(H) == H - 1)[:, None],
+        task.weights_terminal[None, :],
+        task.weights[None, :],
+    )
+    return jnp.sum(w * r_all * r_all, axis=1)
+
+
+def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray) -> Trajectory:
+    """Roll out controls from an initial state (RolloutTrajectory analogue)."""
+    model = task.model
+
+    def body(carry, u):
+        qpos, qvel = carry
+        data = Data(qpos=qpos, qvel=qvel, ctrl=u, time=jnp.zeros((), qpos.dtype))
+        data = forward(model, data)
+        r = task.residual_fn(model, data, task.residual_targets)
+        data = advance(model, data)
+        return (data.qpos, data.qvel), (qpos, qvel, r)
+
+    (qpN, qvN), (qps, qvs, r_all) = jax.lax.scan(body, (qpos0, qvel0), U)
+    qpos_traj = jnp.concatenate([qps, qpN[None]], axis=0)
+    qvel_traj = jnp.concatenate([qvs, qvN[None]], axis=0)
+    return Trajectory(qpos_traj, qvel_traj, U, _step_costs(task, r_all))
+
+
+# ---------------------------------------------------------------------------
+# derivatives (GenerateDerivatives analogue, Optimiser.cpp:80-169)
+# ---------------------------------------------------------------------------
+
+
+def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
+                        mode: str = "fd", fd_eps: float = 1e-6):
+    """Keypoint A/B + interpolation + cost expansion along the trajectory.
+
+    Returns (A, B, l_x, l_xx, l_u, l_uu, pct_derivs): A/B are (H, 2n, 2n) /
+    (H, 2n, nu); cost terms are per-step arrays over t = 0..H-1.
+    """
+    model, sv = task.model, task.sv
+    H = traj.ctrl.shape[0]
+    jobs = jobs_from_mask(mask, budget)
+    A_kp, B_kp, _ = keypoint_jacobians(
+        model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, jobs,
+        eps=fd_eps, mode=mode,
+    )
+    A, B = interpolate_derivatives(A_kp, B_kp, mask, model.nu)
+
+    r, r_x, r_u = jax.vmap(
+        lambda qp, qv, u: residual_derivatives(task, qp, qv, u)
+    )(traj.qpos[:H], traj.qvel[:H], traj.ctrl)
+    terminal = jnp.arange(H) == H - 1
+    l_x, l_xx, l_u, l_uu = jax.vmap(
+        lambda rr, rx, ru, tm_: cost_derivatives_gn(task, rr, rx, ru, tm_)
+    )(r, r_x, r_u, terminal)
+    return A, B, l_x, l_xx, l_u, l_uu, percentage_derivs(mask)
+
+
+# ---------------------------------------------------------------------------
+# backward pass (iLQR.cpp:535-634) + lambda loop (:636-657)
+# ---------------------------------------------------------------------------
+
+
+def backward_pass(A, B, l_x, l_xx, l_u, l_uu, lamb):
+    """One Riccati sweep at fixed lambda.
+
+    Returns (k (H, nu), K (H, nu, 2n), delta_J, valid).  Mirrors the
+    reference loop t = H-1..0 with V initialised from the terminal expansion.
+    """
+    H, nx = l_x.shape
+    nu = l_u.shape[1]
+    eye_u = jnp.eye(nu, dtype=l_x.dtype)
+
+    def bp_step(carry, inp):
+        V_x, V_xx = carry
+        A_t, B_t, lx_t, lxx_t, lu_t, luu_t = inp
+        Q_x = lx_t + A_t.T @ V_x
+        Q_u = lu_t + B_t.T @ V_x
+        VA = V_xx @ A_t
+        Q_xx = lxx_t + A_t.T @ VA
+        Q_uu = luu_t + B_t.T @ (V_xx @ B_t)
+        Q_ux = B_t.T @ VA
+        L = jnp.linalg.cholesky(Q_uu + lamb * eye_u)
+        k_t = -jax.scipy.linalg.cho_solve((L, True), Q_u)
+        K_t = -jax.scipy.linalg.cho_solve((L, True), Q_ux)
+        V_x_n = Q_x + K_t.T @ (Q_uu @ k_t) + K_t.T @ Q_u + Q_ux.T @ k_t
+        V_xx_n = Q_xx + K_t.T @ (Q_uu @ K_t) + K_t.T @ Q_ux + Q_ux.T @ K_t
+        V_xx_n = 0.5 * (V_xx_n + V_xx_n.T)
+        dJ_t = k_t @ Q_u + k_t @ (Q_uu @ k_t)
+        return (V_x_n, V_xx_n), (k_t, K_t, dJ_t)
+
+    init = (l_x[H - 1], l_xx[H - 1])
+    _, (k, K, dJ) = jax.lax.scan(
+        bp_step, init, (A, B, l_x, l_xx, l_u, l_uu), reverse=True
+    )
+    valid = jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(K))
+    return k, K, jnp.sum(dJ), valid
+
+
+def backward_pass_lambda_loop(A, B, l_x, l_xx, l_u, l_uu, lamb, cfg: ILQRConfig):
+    """while(!valid): BP; UpdateLambda — the reference's retry loop
+    (`iLQR.cpp:430-452,636-657`).  Returns (k, K, dJ, new_lambda, lambda_exit).
+    """
+
+    def update_lambda(lamb, valid):
+        lamb = jnp.where(valid, lamb / cfg.lambda_factor, lamb * cfg.lambda_factor)
+        exit_ = lamb > cfg.max_lambda
+        lamb = jnp.clip(lamb, cfg.min_lambda, cfg.max_lambda)
+        return lamb, exit_
+
+    k0, K0, dJ0, valid0 = backward_pass(A, B, l_x, l_xx, l_u, l_uu, lamb)
+    lamb1, exit0 = update_lambda(lamb, valid0)
+
+    def cond(state):
+        _, _, _, _, valid, exit_, _ = state
+        return jnp.logical_not(valid) & jnp.logical_not(exit_)
+
+    def body(state):
+        _, _, _, lamb, _, _, it = state
+        k, K, dJ, valid = backward_pass(A, B, l_x, l_xx, l_u, l_uu, lamb)
+        lamb_n, exit_ = update_lambda(lamb, valid)
+        return (k, K, dJ, lamb_n, valid, exit_, it + 1)
+
+    state = (k0, K0, dJ0, lamb1, valid0, exit0, jnp.zeros((), jnp.int32))
+    k, K, dJ, lamb_f, valid, exit_, _ = jax.lax.while_loop(cond, body, state)
+    return k, K, dJ, lamb_f, exit_ & jnp.logical_not(valid)
+
+
+# ---------------------------------------------------------------------------
+# forward pass: batched line search (iLQR.cpp:824-934)
+# ---------------------------------------------------------------------------
+
+
+def forward_pass(task: Task, traj: Trajectory, k, K, alphas, old_cost):
+    """vmap line-search rollouts over alphas; pick argmin; accept if < old.
+
+    Returns (new_traj, new_cost, accepted, best_alpha).
+    """
+    model, sv = task.model, task.sv
+    H = traj.ctrl.shape[0]
+    limits = control_limits(task)
+
+    def one_alpha(alpha):
+        def body(carry, t):
+            qpos, qvel = carry
+            dx = to_tangent(
+                model, sv, qpos, qvel, traj.qpos[t], traj.qvel[t]
+            )
+            u = traj.ctrl[t] + alpha * k[t] + K[t] @ dx
+            u = jnp.clip(u, limits[:, 0], limits[:, 1])
+            data = Data(qpos=qpos, qvel=qvel, ctrl=u,
+                        time=jnp.zeros((), qpos.dtype))
+            data = forward(model, data)
+            r = task.residual_fn(model, data, task.residual_targets)
+            data = advance(model, data)
+            return (data.qpos, data.qvel), (qpos, qvel, u, r)
+
+        (qpN, qvN), (qps, qvs, us, r_all) = jax.lax.scan(
+            body, (traj.qpos[0], traj.qvel[0]), jnp.arange(H)
+        )
+        costs = _step_costs(task, r_all)
+        new_traj = Trajectory(
+            jnp.concatenate([qps, qpN[None]], axis=0),
+            jnp.concatenate([qvs, qvN[None]], axis=0),
+            us,
+            costs,
+        )
+        return jnp.sum(costs), new_traj
+
+    costs, trajs = jax.vmap(one_alpha)(alphas)
+    best = jnp.argmin(costs)
+    accepted = costs[best] < old_cost
+    best_traj = jax.tree.map(lambda x: x[best], trajs)
+    new_traj = jax.tree.map(
+        lambda new, old: jnp.where(
+            jnp.reshape(accepted, (1,) * new.ndim), new, old
+        ),
+        best_traj,
+        traj,
+    )
+    new_cost = jnp.where(accepted, costs[best], old_cost)
+    return new_traj, new_cost, accepted, alphas[best]
+
+
+# ---------------------------------------------------------------------------
+# full optimisation
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class ILQRStats:
+    """Per-optimisation metrics mirroring the reference banner taxonomy
+    (`iLQR.cpp:950-980`): cost history, %derivs, phase times."""
+
+    initial_cost: float = 0.0
+    final_cost: float = 0.0
+    cost_reduction: float = 0.0
+    num_iterations: int = 0
+    cost_history: tuple = ()
+    percent_derivs: tuple = ()
+    best_alphas: tuple = ()
+    lambdas: tuple = ()
+    time_derivs_ms: tuple = ()
+    time_bp_ms: tuple = ()
+    time_fp_ms: tuple = ()
+    opt_time_ms: float = 0.0
+
+
+def _deriv_budget(cfg_kp, H: int, ndof: int, override: Optional[int]) -> int:
+    """Static job budget per keypoint method (worst-case keypoint count)."""
+    if override is not None:
+        return override
+    if cfg_kp.name == "set_interval":
+        rows = len(range(0, H - 1, cfg_kp.min_N)) + 1
+        return rows * ndof
+    # adaptive methods: at most one keypoint per min_N steps per dof, + ends
+    return ndof * (H // max(cfg_kp.min_N, 1) + 2)
+
+
+def make_phase_fns(task: Task, cfg: ILQRConfig, H: int):
+    """Build the jitted phase functions for a given (task topology, horizon).
+
+    Returned closures are reused across optimise() calls and MPC replans —
+    compile once, run many.
+    """
+    model, sv = task.model, task.sv
+    kp_cfg = task.keypoint_cfg
+    budget = _deriv_budget(kp_cfg, H, sv.ndof, cfg.deriv_budget)
+    dt = model.timestep
+
+    @jax.jit
+    def rollout_fn(qpos0, qvel0, U):
+        return rollout(task, qpos0, qvel0, U)
+
+    @jax.jit
+    def derivs_fn(traj: Trajectory):
+        vel_sv = traj.qvel[:H][:, jnp.array(sv.order)]
+        mask = generate_keypoints(kp_cfg, vel_sv, dt)
+        return compute_derivatives(
+            task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps
+        )
+
+    @jax.jit
+    def bp_fn(A, B, l_x, l_xx, l_u, l_uu, lamb):
+        return backward_pass_lambda_loop(A, B, l_x, l_xx, l_u, l_uu, lamb, cfg)
+
+    alphas = default_alphas(cfg.num_parallel_rollouts, model.dtype)
+
+    @jax.jit
+    def fp_fn(traj, k, K, old_cost):
+        return forward_pass(task, traj, k, K, alphas, old_cost)
+
+    return rollout_fn, derivs_fn, bp_fn, fp_fn
+
+
+def optimise(
+    task: Task,
+    qpos0,
+    qvel0,
+    U_init,
+    cfg: ILQRConfig = None,
+    phase_fns=None,
+    verbose: bool = False,
+) -> Tuple[Trajectory, ILQRStats]:
+    """Open-loop iLQR optimisation (iLQR::Optimise, `iLQR.cpp:269-410`).
+
+    Host-driven loop over jitted phases (records per-phase wall times like the
+    reference's banner); see solver/fused.py for the single-dispatch variant
+    used by MPC.
+    """
+    import time as _time
+
+    cfg = cfg or ILQRConfig()
+    H = U_init.shape[0]
+    if phase_fns is None:
+        phase_fns = make_phase_fns(task, cfg, H)
+    rollout_fn, derivs_fn, bp_fn, fp_fn = phase_fns
+
+    t_start = _time.perf_counter()
+    traj = rollout_fn(jnp.asarray(qpos0), jnp.asarray(qvel0), jnp.asarray(U_init))
+    old_cost = float(traj.total_cost)
+    initial_cost = old_cost
+
+    lamb = jnp.asarray(cfg.lambda_init, dtype=task.model.dtype)
+    hist, pcts, alphas_used, lambdas = [], [], [], []
+    t_derivs, t_bp, t_fp = [], [], []
+    n_iters = 0
+    cost_reduced_last_iter = True
+    derivs = None
+
+    for it in range(cfg.max_iterations):
+        n_iters += 1
+        t0 = _time.perf_counter()
+        if cost_reduced_last_iter:
+            derivs = derivs_fn(traj)
+            jax.block_until_ready(derivs)
+        A, B, l_x, l_xx, l_u, l_uu, pct = derivs
+        t1 = _time.perf_counter()
+
+        k, K, dJ, lamb, lambda_exit = bp_fn(A, B, l_x, l_xx, l_u, l_uu, lamb)
+        jax.block_until_ready(k)
+        t2 = _time.perf_counter()
+        if bool(lambda_exit):
+            break
+
+        traj_new, new_cost, accepted, best_alpha = fp_fn(traj, k, K, old_cost)
+        new_cost = float(new_cost)
+        jax.block_until_ready(traj_new)
+        t3 = _time.perf_counter()
+
+        t_derivs.append((t1 - t0) * 1e3)
+        t_bp.append((t2 - t1) * 1e3)
+        t_fp.append((t3 - t2) * 1e3)
+        hist.append(new_cost)
+        pcts.append(float(jnp.mean(pct)))
+        alphas_used.append(float(best_alpha))
+        lambdas.append(float(lamb))
+
+        if verbose:
+            print(
+                f"iter {it}: cost {old_cost:.5f} -> {new_cost:.5f} "
+                f"lambda {float(lamb):.2e} %derivs {pcts[-1]:.1f} "
+                f"t(d/bp/fp) {t_derivs[-1]:.1f}/{t_bp[-1]:.1f}/{t_fp[-1]:.1f} ms"
+            )
+
+        converged = (old_cost - new_cost) / max(new_cost, 1e-12) < cfg.eps_converge
+        if bool(accepted):
+            traj = traj_new
+            old_cost = new_cost
+            cost_reduced_last_iter = True
+        else:
+            cost_reduced_last_iter = False
+            # cost didn't reduce: re-raise lambda twice (iLQR.cpp:517-528)
+            lamb = jnp.clip(
+                lamb * cfg.lambda_factor * cfg.lambda_factor,
+                cfg.min_lambda,
+                cfg.max_lambda,
+            )
+        if converged and it >= cfg.min_iterations:
+            break
+
+    stats = ILQRStats(
+        initial_cost=initial_cost,
+        final_cost=old_cost,
+        cost_reduction=1.0 - old_cost / max(initial_cost, 1e-12),
+        num_iterations=n_iters,
+        cost_history=tuple(hist),
+        percent_derivs=tuple(pcts),
+        best_alphas=tuple(alphas_used),
+        lambdas=tuple(lambdas),
+        time_derivs_ms=tuple(t_derivs),
+        time_bp_ms=tuple(t_bp),
+        time_fp_ms=tuple(t_fp),
+        opt_time_ms=(_time.perf_counter() - t_start) * 1e3,
+    )
+    return traj, stats
