@@ -133,6 +133,7 @@ def from_mj(mj, dtype=jnp.float64) -> Model:
         dof_armature=arr(mj.dof_armature),
         dof_frictionloss=arr(mj.dof_frictionloss),
         dof_invweight0=arr(mj.dof_invweight0),
+        body_invweight0=arr(mj.body_invweight0),
         actuator_gear=arr(gear),
         actuator_ctrlrange=arr(mj.actuator_ctrlrange),
         actuator_forcerange=arr(mj.actuator_forcerange),
