@@ -18,6 +18,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def main():
     from trajoptkp_tpu.solver.fused import make_fused_optimise

@@ -1,0 +1,203 @@
+"""App driver: run-mode dispatch (the reference's main.cpp, L7).
+
+Usage:
+    python -m trajoptkp_tpu.app --task acrobot --runMode Optimise_once
+    python -m trajoptkp_tpu.app --config path/to/general_config.yaml
+
+Run modes (mirroring `/root/reference/src/main.cpp:83-298` and
+`generalConfigs/default.yaml`):
+    Init_controls                 - build + report the task's init controls
+    Optimise_once                 - open-loop optimisation, report stats
+    MPC_until_completion          - asynchronous MPC until TaskComplete
+    Generate_test_scenes          - write random scene CSVs (TestTasks format)
+    Generate_openloop_data        - N-scene open-loop campaign -> summary.csv
+    Generate_syncronus_mpc_data   - synchronous MPC campaign
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", help="general config YAML (reference schema)")
+    p.add_argument("--task", default="acrobot")
+    p.add_argument("--optimiser", default="iLQR", choices=["iLQR", "iLQR_SVR"])
+    p.add_argument("--runMode", default="Optimise_once")
+    p.add_argument("--task_config", help="task YAML overrides (reference schema)")
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--maxIter", type=int, default=10)
+    p.add_argument("--minIter", type=int, default=5)
+    p.add_argument("--deriv_mode", default="fd", choices=["fd", "ad"])
+    p.add_argument("--num_scenes", type=int, default=100)
+    p.add_argument("--out_dir", default="TestingData")
+    p.add_argument("--scenes_dir", help="TestTasks-format scene CSV directory")
+    p.add_argument("--f32", action="store_true", help="use float32 (TPU)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .config import (apply_task_config, make_task, read_general_config)
+    from .solver.ilqr import ILQRConfig, optimise
+
+    if args.config:
+        gc = read_general_config(args.config)
+        args.task = gc.task
+        args.optimiser = gc.optimiser
+        args.runMode = gc.runMode
+        args.maxIter = gc.maxIter
+        args.minIter = gc.minIter
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    task = make_task(args.task, dtype=dtype)
+    if args.task_config:
+        task = apply_task_config(task, args.task_config)
+    H = args.horizon or task.openloop_horizon
+    cfg = ILQRConfig(
+        max_iterations=args.maxIter,
+        min_iterations=args.minIter,
+        deriv_mode=args.deriv_mode,
+    )
+
+    mode = args.runMode
+    if mode == "Init_controls":
+        U = _init_controls(task, H)
+        print(json.dumps({
+            "task": task.name, "horizon": H,
+            "u_norm": float(jnp.linalg.norm(U)),
+            "u0": np.asarray(U[0]).tolist(),
+        }))
+    elif mode == "Optimise_once":
+        U = _init_controls(task, H)
+        traj, stats = optimise(
+            task, task.qpos_start, task.qvel_start, U, cfg, verbose=True
+        )
+        print(json.dumps({
+            "task": task.name, "horizon": H,
+            "initial_cost": stats.initial_cost,
+            "final_cost": stats.final_cost,
+            "cost_reduction": stats.cost_reduction,
+            "iterations": stats.num_iterations,
+            "opt_time_ms": stats.opt_time_ms,
+        }))
+    elif mode == "MPC_until_completion":
+        from .mpc import AsyncMPC
+
+        U = _init_controls(task, task.mpc_horizon)
+        runner = AsyncMPC(task, cfg, task.mpc_horizon, seed=args.seed)
+        qpos_hist, u_hist = runner.run(U, max_steps=2000)
+        print(json.dumps({
+            "task": task.name, "steps": len(u_hist),
+            "replans": len(runner.replan_times_ms),
+            "mean_replan_ms": float(np.mean(runner.replan_times_ms))
+            if runner.replan_times_ms else None,
+        }))
+    elif mode == "Generate_test_scenes":
+        _generate_scenes(task, args)
+    elif mode == "Generate_openloop_data":
+        _openloop_campaign(task, cfg, H, args)
+    elif mode == "Generate_syncronus_mpc_data":
+        _sync_mpc_campaign(task, cfg, args)
+    else:
+        raise SystemExit(f"unknown runMode: {mode}")
+
+
+def _init_controls(task, H):
+    """CreateInitOptimisationControls dispatch: pushing tasks use the
+    IK servo (`PushBaseClass.cpp`), others default to zeros
+    (`ModelTranslator.cpp:1783-1797`)."""
+    if task.name.startswith("push"):
+        from .tasks.pushing import jacobian_ee_init_controls
+
+        return jax.jit(lambda: jacobian_ee_init_controls(task, H))()
+    return jnp.zeros((H, task.model.nu), task.model.dtype)
+
+
+def _generate_scenes(task, args):
+    from .config import SceneSpec, save_scene_csv
+
+    rng = np.random.default_rng(args.seed)
+    out = os.path.join(args.out_dir, "TestTasks", task.name)
+    for i in range(args.num_scenes):
+        # task-generic jitter of start configuration + targets
+        qpos = np.asarray(task.qpos_start, dtype=np.float64)
+        n_rj = min(task.model.nu, len(qpos))
+        start = qpos[:n_rj] + 0.2 * rng.standard_normal(n_rj)
+        targets = np.asarray(task.residual_targets, dtype=np.float64)
+        targets = targets + 0.1 * rng.standard_normal(targets.shape)
+        save_scene_csv(
+            os.path.join(out, f"{i}.csv"),
+            SceneSpec(robot_start=start, body_starts=[], residual_targets=targets),
+        )
+    print(json.dumps({"scenes_written": args.num_scenes, "dir": out}))
+
+
+def _openloop_campaign(task, cfg, H, args):
+    from .bench import openloop_campaign
+
+    rng = np.random.default_rng(args.seed)
+    N = args.num_scenes
+    nq, nv, nu = task.model.nq, task.model.nv, task.model.nu
+    qpos = np.tile(np.asarray(task.qpos_start), (N, 1))
+    n_rj = min(nu, nq)
+    qpos[:, :n_rj] += 0.2 * rng.standard_normal((N, n_rj))
+    qvel = np.zeros((N, nv))
+    targets = np.tile(np.asarray(task.residual_targets), (N, 1))
+    U = np.zeros((N, H, nu))
+    stamp = time.strftime("%Y%m%d_%H%M")
+    out_dir = os.path.join(
+        args.out_dir, f"{task.name}_openloop_{stamp}"
+    )
+    rows = openloop_campaign(
+        task, qpos, qvel, targets, U, cfg, out_dir=out_dir,
+        controls_noise=0.5,
+    )
+    print(json.dumps({
+        "campaign": out_dir, "trials": len(rows),
+        "mean_cost_reduction": float(np.mean([r.cost_reduction for r in rows])),
+        "mean_opt_time_ms": float(np.mean([r.opt_time_ms for r in rows])),
+    }))
+
+
+def _sync_mpc_campaign(task, cfg, args):
+    from .mpc import make_sync_mpc
+
+    H = task.mpc_horizon
+    mpc = make_sync_mpc(task, cfg, H, num_apply=1)
+    n_replans = 200
+    key = jax.random.PRNGKey(args.seed)
+    U0 = jnp.zeros((H, task.model.nu), task.model.dtype)
+    run = jax.jit(lambda qp, qv, U, k: mpc(qp, qv, U, n_replans, k))
+    res = run(task.qpos_start, task.qvel_start, U0, key)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    res = run(task.qpos_start, task.qvel_start, U0, key)
+    jax.block_until_ready(res)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "task": task.name, "mpc_horizon": H, "replans": n_replans,
+        "total_ms": wall * 1e3,
+        "ms_per_replan": wall * 1e3 / n_replans,
+        "replan_rate_hz": n_replans / wall,
+        "mean_running_cost": float(jnp.mean(res.cost_hist)),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Benchmark campaign harness: the GenTestingData equivalent.
+
+Reproduces the reference's 100-trial campaign outputs
+(`/root/reference/src/GenTestingData.cpp`):
+  - per-trial rows and `summary.csv` with the exact header/columns of
+    `GenTestingData.cpp:241-243`
+  - `summary.yaml` run metadata (`:397-418`)
+  - keypoint-method naming SI_n / AJ_a_b / VC_a_b / IE_a_b (`:869-892`)
+
+TPU-native difference: the scene loop is a batched axis — all trials of a
+campaign run as one vmapped fused-iLQR dispatch (sharded over the mesh when
+more than one device is present), instead of the reference's serial loop.
+Per-phase timings come from a separate single-scene instrumented solve.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..keypoints.methods import KeypointConfig
+from ..solver.fused import make_fused_optimise
+from ..solver.ilqr import ILQRConfig, optimise
+from ..tasks.base import Task
+
+SUMMARY_HEADER = (
+    "Cost reduction,Optimisation time (ms),Number iterations,"
+    "Average num dofs,Average percent derivs,Average time derivs (ms),"
+    "Average time BP (ms),Average time FP (ms)"
+)
+
+
+def method_name(cfg: KeypointConfig) -> str:
+    """SI_n / AJ_a_b / AA_a_b / VC_a_b / IE_a_b (GenTestingData.cpp:869-892)."""
+    if cfg.name == "set_interval":
+        return f"SI_{cfg.min_N}"
+    prefix = {
+        "adaptive_jerk": "AJ",
+        "adaptive_accel": "AA",
+        "velocity_change": "VC",
+        "iterative_error": "IE",
+    }[cfg.name]
+    return f"{prefix}_{cfg.min_N}_{cfg.max_N}"
+
+
+@dataclass
+class TrialRow:
+    cost_reduction: float
+    opt_time_ms: float
+    num_iterations: int
+    avg_num_dofs: float
+    avg_percent_derivs: float
+    avg_time_derivs_ms: float
+    avg_time_bp_ms: float
+    avg_time_fp_ms: float
+
+    def csv(self) -> str:
+        return (
+            f"{self.cost_reduction:.6g},{self.opt_time_ms:.6g},"
+            f"{self.num_iterations},{self.avg_num_dofs:.6g},"
+            f"{self.avg_percent_derivs:.6g},{self.avg_time_derivs_ms:.6g},"
+            f"{self.avg_time_bp_ms:.6g},{self.avg_time_fp_ms:.6g}"
+        )
+
+
+def openloop_campaign(
+    task: Task,
+    scenes_qpos: np.ndarray,       # (N, nq) start states
+    scenes_qvel: np.ndarray,       # (N, nv)
+    scenes_targets: np.ndarray,    # (N, ntargets)
+    U_init: np.ndarray,            # (N, H, nu)
+    cfg: Optional[ILQRConfig] = None,
+    out_dir: Optional[str] = None,
+    noise_key: Optional[jax.Array] = None,
+    controls_noise: float = 0.0,
+) -> List[TrialRow]:
+    """Run an N-scene open-loop campaign (GenDataOpenloopOptimisation).
+
+    All scenes solve as ONE batched device dispatch; wall-clock per solve is
+    the batch wall time divided by N (throughput accounting — the honest
+    number for a batched device, and the one solves/s comparisons use).
+    Optional initial-control noise mirrors `controls_noise` in the reference
+    summary.yaml campaigns.
+    """
+    cfg = cfg or ILQRConfig()
+    N, H = U_init.shape[0], U_init.shape[1]
+    dtype = task.model.dtype
+
+    if controls_noise > 0.0:
+        noise_key = noise_key if noise_key is not None else jax.random.PRNGKey(0)
+        U_init = np.asarray(U_init) + np.asarray(
+            controls_noise
+            * jax.random.normal(noise_key, U_init.shape)
+        )
+
+    fused = make_fused_optimise(task, cfg, H)
+
+    def one(qpos0, qvel0, U0, targets):
+        t = task.replace(residual_targets=targets)
+        return make_fused_optimise(t, cfg, H)(qpos0, qvel0, U0)
+
+    batched = jax.jit(jax.vmap(one))
+    args = (
+        jnp.asarray(scenes_qpos, dtype),
+        jnp.asarray(scenes_qvel, dtype),
+        jnp.asarray(U_init, dtype),
+        jnp.asarray(scenes_targets, dtype),
+    )
+    # compile
+    res = batched(*args)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    res = batched(*args)
+    jax.block_until_ready(res)
+    batch_ms = (time.perf_counter() - t0) * 1e3
+    per_solve_ms = batch_ms / N
+
+    # instrumented single solve for the per-phase breakdown
+    _, stats = optimise(
+        task.replace(
+            residual_targets=jnp.asarray(scenes_targets[0], dtype)
+        ),
+        jnp.asarray(scenes_qpos[0], dtype),
+        jnp.asarray(scenes_qvel[0], dtype),
+        jnp.asarray(U_init[0], dtype),
+        cfg,
+    )
+    t_derivs = float(np.mean(stats.time_derivs_ms)) if stats.time_derivs_ms else 0.0
+    t_bp = float(np.mean(stats.time_bp_ms)) if stats.time_bp_ms else 0.0
+    t_fp = float(np.mean(stats.time_fp_ms)) if stats.time_fp_ms else 0.0
+
+    rows = []
+    reductions = np.asarray(res.cost_reduction)
+    iters = np.asarray(res.num_iterations)
+    pct = np.asarray(res.pct_derivs)
+    for i in range(N):
+        rows.append(
+            TrialRow(
+                cost_reduction=float(reductions[i]),
+                opt_time_ms=per_solve_ms,
+                num_iterations=int(iters[i]),
+                avg_num_dofs=float(task.sv.ndof),
+                avg_percent_derivs=float(pct[i]),
+                avg_time_derivs_ms=t_derivs,
+                avg_time_bp_ms=t_bp,
+                avg_time_fp_ms=t_fp,
+            )
+        )
+
+    if out_dir:
+        write_summary(out_dir, task, cfg, H, rows, controls_noise)
+    return rows
+
+
+def write_summary(
+    out_dir: str, task: Task, cfg: ILQRConfig, horizon: int,
+    rows: List[TrialRow], controls_noise: float = 0.0,
+) -> None:
+    """summary.csv + summary.yaml in the reference layout."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "summary.csv"), "w") as f:
+        f.write(SUMMARY_HEADER + "\n")
+        for r in rows:
+            f.write(r.csv() + "\n")
+    kp = task.keypoint_cfg
+    meta = {
+        "optimisation horizon": horizon,
+        "controls_noise": controls_noise,
+        "model timestep": float(task.model.timestep),
+        "keypoint_name": method_name(kp),
+        "keypoint_min_N": kp.min_N,
+        "keypoint_max_N": kp.max_N,
+        "task": task.name,
+        "num_trials": len(rows),
+        "mean_cost_reduction": float(
+            np.mean([r.cost_reduction for r in rows])
+        ),
+        "mean_opt_time_ms": float(np.mean([r.opt_time_ms for r in rows])),
+    }
+    with open(os.path.join(out_dir, "summary.yaml"), "w") as f:
+        yaml.safe_dump(meta, f)

@@ -165,6 +165,104 @@ def ad_job_columns(
     return colA_pos, colA_vel, colB
 
 
+def _batched_fd_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
+    """Central-FD columns for a batch of jobs through ONE vmapped step graph.
+
+    Builds all 6 perturbed configurations per job up front (cheap scatter
+    ops), runs a single vmap(step) over the (6*njobs) batch, and recombines —
+    the compiled graph contains the stepper once instead of six times, which
+    cuts XLA compile time ~6x and gives the compiler one large fusion.
+    """
+    nv, nu = model.nv, model.nu
+    njobs = qpos_b.shape[0]
+    dtype = qpos_b.dtype
+    dof_idx = jnp.array(sv.order)[d_b]                      # (J,)
+    e_v = (jnp.arange(nv)[None, :] == dof_idx[:, None]).astype(dtype)
+    if nu > 0:
+        cidx = jnp.clip(d_b, 0, nu - 1)
+        e_u = (jnp.arange(nu)[None, :] == cidx[:, None]).astype(dtype)
+    else:
+        e_u = jnp.zeros((njobs, 0), dtype=dtype)
+
+    int_pos = jax.vmap(lambda qp, dv, s: integrate_pos(model, qp, dv, s),
+                       in_axes=(0, 0, None))
+    qpos_p = int_pos(qpos_b, eps * e_v, 1.0)
+    qpos_m = int_pos(qpos_b, -eps * e_v, 1.0)
+
+    # order: [pos+, pos-, vel+, vel-, ctrl+, ctrl-] stacked over jobs
+    QP = jnp.concatenate([qpos_p, qpos_m, qpos_b, qpos_b, qpos_b, qpos_b])
+    QV = jnp.concatenate(
+        [qvel_b, qvel_b, qvel_b + eps * e_v, qvel_b - eps * e_v, qvel_b, qvel_b]
+    )
+    CT = jnp.concatenate(
+        [ctrl_b, ctrl_b, ctrl_b, ctrl_b, ctrl_b + eps * e_u, ctrl_b - eps * e_u]
+    )
+    out_qp, out_qv = jax.vmap(
+        lambda a, b, c: step_state(model, a, b, c)
+    )(QP, QV, CT)
+    out_qp = out_qp.reshape(6, njobs, -1)
+    out_qv = out_qv.reshape(6, njobs, -1)
+
+    tang = jax.vmap(
+        lambda qpa, qva, qpb, qvb: _tangent_out(
+            model, sv, qpa, qva, qpb, qvb, 2 * eps
+        )
+    )
+    colA_pos = tang(out_qp[1], out_qv[1], out_qp[0], out_qv[0])
+    colA_vel = tang(out_qp[3], out_qv[3], out_qp[2], out_qv[2])
+    colB = tang(out_qp[5], out_qv[5], out_qp[4], out_qv[4])
+    return colA_pos, colA_vel, colB
+
+
+def _batched_ad_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
+    """Exact JVP columns, one jvp'd step graph for the whole (3*njobs) batch.
+
+    Output tangent coordinates are about each job's nominal next state
+    (matches FD semantics; see ad_job_columns)."""
+    nv, nu = model.nv, model.nu
+    njobs = qpos_b.shape[0]
+    dtype = qpos_b.dtype
+    dof_idx = jnp.array(sv.order)[d_b]
+    e_v = (jnp.arange(nv)[None, :] == dof_idx[:, None]).astype(dtype)
+    if nu > 0:
+        cidx = jnp.clip(d_b, 0, nu - 1)
+        e_u = (jnp.arange(nu)[None, :] == cidx[:, None]).astype(dtype)
+    else:
+        e_u = jnp.zeros((njobs, 0), dtype=dtype)
+    zv = jnp.zeros_like(e_v)
+    zu = jnp.zeros_like(e_u)
+
+    qp_nom, qv_nom = jax.vmap(lambda a, b, c: step_state(model, a, b, c))(
+        qpos_b, qvel_b, ctrl_b
+    )
+
+    def one_dir(qpos, qvel, ctrl, qpn, qvn, dp, dv, du):
+        def f(dpos, dvel, dctrl):
+            qp, qv = step_state(
+                model,
+                integrate_pos(model, qpos, dpos, 1.0),
+                qvel + dvel,
+                ctrl + dctrl,
+            )
+            return _tangent_out(model, sv, qpn, qvn, qp, qv, 1.0)
+
+        z = (jnp.zeros((nv,), dtype), jnp.zeros((nv,), dtype),
+             jnp.zeros((nu,), dtype))
+        _, tangent = jax.jvp(f, z, (dp, dv, du))
+        return tangent
+
+    # directions stacked: [pos, vel, ctrl] per job
+    rep = lambda x: jnp.concatenate([x, x, x])
+    DP = jnp.concatenate([e_v, zv, zv])
+    DV = jnp.concatenate([zv, e_v, zv])
+    DU = jnp.concatenate([zu, zu, e_u])
+    cols = jax.vmap(one_dir)(
+        rep(qpos_b), rep(qvel_b), rep(ctrl_b), rep(qp_nom), rep(qv_nom),
+        DP, DV, DU,
+    ).reshape(3, njobs, -1)
+    return cols[0], cols[1], cols[2]
+
+
 def keypoint_jacobians(
     model: Model,
     sv: StateVector,
@@ -184,20 +282,12 @@ def keypoint_jacobians(
     """
     n = sv.ndof
     H = qpos_traj.shape[0]
-    col_fn = fd_job_columns if mode == "fd" else ad_job_columns
-
-    def one(job_t, job_d):
-        return col_fn(
-            model,
-            sv,
-            qpos_traj[job_t],
-            qvel_traj[job_t],
-            ctrl_traj[job_t],
-            job_d,
-            eps,
-        )
-
-    colA_pos, colA_vel, colB = jax.vmap(one)(jobs.t, jobs.d)  # (budget, 2n)
+    col_fn = _batched_fd_columns if mode == "fd" else _batched_ad_columns
+    colA_pos, colA_vel, colB = col_fn(
+        model, sv,
+        qpos_traj[jobs.t], qvel_traj[jobs.t], ctrl_traj[jobs.t],
+        jobs.d, eps,
+    )  # (budget, 2n) each
 
     dtype = qpos_traj.dtype
     vmask = jobs.valid.astype(dtype)[:, None]

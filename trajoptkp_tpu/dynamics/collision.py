@@ -32,7 +32,7 @@ PAIR_NCON = {
     (GEOM_BOX, GEOM_BOX): 8,
     (GEOM_SPHERE, GEOM_CYLINDER): 1,
     (GEOM_CAPSULE, GEOM_CYLINDER): 1,
-    (GEOM_BOX, GEOM_CYLINDER): 4,
+    (GEOM_CYLINDER, GEOM_BOX): 2,
     (GEOM_CYLINDER, GEOM_CYLINDER): 1,
 }
 
@@ -266,6 +266,14 @@ _DISPATCH = {
     (GEOM_CAPSULE, GEOM_CAPSULE): capsule_capsule,
     (GEOM_CAPSULE, GEOM_BOX): capsule_box,
     (GEOM_BOX, GEOM_BOX): box_box,
+    # cylinders treated as equal-radius capsules for lateral contact — exact
+    # for the side-on pushing interactions the manipulation tasks exercise;
+    # rim/cap edge contacts are approximated (note: plane-cylinder above is
+    # a dedicated 3-point cap manifold)
+    (GEOM_SPHERE, GEOM_CYLINDER): sphere_capsule,
+    (GEOM_CAPSULE, GEOM_CYLINDER): capsule_capsule,
+    (GEOM_CYLINDER, GEOM_CYLINDER): capsule_capsule,
+    (GEOM_CYLINDER, GEOM_BOX): capsule_box,
 }
 
 

@@ -142,46 +142,70 @@ def _contact_rows(model: Model, data: Data) -> list:
     return rows
 
 
-def _limit_rows(model: Model, data: Data) -> list:
-    rows = []
+def _limit_rows(model: Model, data: Data):
+    """Joint-limit rows, fully vectorised over (limited scalar joints x 2 sides).
+
+    Returns a Rows batch or None."""
     dtype = data.qpos.dtype
-    for j in range(model.njnt):
-        if not model.jnt_limited[j] or model.jnt_type[j] not in (HINGE, SLIDE):
-            continue
-        qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
-        lo, hi = model.jnt_range[j, 0], model.jnt_range[j, 1]
-        margin = model.jnt_margin[j]
-        inv_w = jnp.maximum(model.dof_invweight0[dadr], 1e-9)
-        for side in (0, 1):
-            dist = jnp.where(
-                side == 0, data.qpos[qadr] - lo, hi - data.qpos[qadr]
-            )
-            sign = jnp.where(side == 0, 1.0, -1.0).astype(dtype)
-            include = dist < margin
-            imp_pos = dist - margin
-            d = _impedance(model.jnt_solimp[j], imp_pos)
-            k, b = _kb(model.jnt_solref[j], model.jnt_solimp[j], d)
-            Jrow = jnp.zeros((model.nv,), dtype=dtype).at[dadr].set(sign)
-            vel = sign * data.qvel[dadr]
-            aref = -b * vel - k * imp_pos
-            rows.append(
-                Rows(
-                    J=Jrow,
-                    aref=aref,
-                    R=jnp.maximum((1.0 - d) / jnp.maximum(d, 1e-6), 1e-9) * inv_w,
-                    active=include.astype(dtype),
-                )
-            )
-    return rows
+    lim = [j for j in range(model.njnt)
+           if model.jnt_limited[j] and model.jnt_type[j] in (HINGE, SLIDE)]
+    if not lim:
+        return None
+    jidx = jnp.array(lim)
+    qadr = jnp.array([model.jnt_qposadr[j] for j in lim])
+    dadr = jnp.array([model.jnt_dofadr[j] for j in lim])
+    lo = model.jnt_range[jidx, 0]
+    hi = model.jnt_range[jidx, 1]
+    margin = model.jnt_margin[jidx]
+    inv_w = jnp.maximum(model.dof_invweight0[dadr], 1e-9)
+    q = data.qpos[qadr]
+    v = data.qvel[dadr]
+
+    # side 0: q - lo (J = +e), side 1: hi - q (J = -e); stacked
+    dist = jnp.concatenate([q - lo, hi - q])
+    sign = jnp.concatenate(
+        [jnp.ones_like(q), -jnp.ones_like(q)]
+    )
+    vel = sign * jnp.concatenate([v, v])
+    margin2 = jnp.concatenate([margin, margin])
+    inv_w2 = jnp.concatenate([inv_w, inv_w])
+    solimp2 = jnp.concatenate([model.jnt_solimp[jidx]] * 2)
+    solref2 = jnp.concatenate([model.jnt_solref[jidx]] * 2)
+    dadr2 = jnp.concatenate([dadr, dadr])
+
+    include = dist < margin2
+    imp_pos = dist - margin2
+    d = jax.vmap(_impedance)(solimp2, imp_pos)
+    k, b = jax.vmap(_kb)(solref2, solimp2, d)
+    aref = -b * vel - k * imp_pos
+    nlim2 = 2 * len(lim)
+    J = jnp.zeros((nlim2, model.nv), dtype=dtype).at[
+        jnp.arange(nlim2), dadr2
+    ].set(sign)
+    R = jnp.maximum((1.0 - d) / jnp.maximum(d, 1e-6), 1e-9) * inv_w2
+    return Rows(J=J, aref=aref, R=R, active=include.astype(dtype))
 
 
 def assemble_constraints(model: Model, data: Data) -> Rows:
-    rows = _limit_rows(model, data) + _contact_rows(model, data)
+    crows = _contact_rows(model, data)
+    parts = []
+    lrows = _limit_rows(model, data)
+    if lrows is not None:
+        parts.append(lrows)
+    if crows:
+        parts.append(
+            Rows(
+                J=jnp.stack([r.J for r in crows]),
+                aref=jnp.stack([r.aref for r in crows]),
+                R=jnp.stack([r.R for r in crows]),
+                active=jnp.stack([r.active for r in crows]),
+            )
+        )
     return Rows(
-        J=jnp.stack([r.J for r in rows]),
-        aref=jnp.stack([r.aref for r in rows]),
-        R=jnp.stack([r.R for r in rows]),
-        active=jnp.stack([r.active for r in rows]),
+        J=jnp.concatenate([p.J for p in parts]),
+        aref=jnp.concatenate([jnp.atleast_1d(p.aref) for p in parts]),
+        R=jnp.concatenate([jnp.atleast_1d(p.R) for p in parts]),
+        active=jnp.concatenate([jnp.atleast_1d(p.active) for p in parts]),
     )
 
 

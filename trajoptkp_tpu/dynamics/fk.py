@@ -16,6 +16,7 @@ meters so conditioning is a non-issue in f32/f64.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils import math as tm
@@ -52,6 +53,87 @@ def _joint_transform(model: Model, j: int, qpos, xpos, xquat):
     return xpos, xquat
 
 
+def _chain_segments(model: Model):
+    """Host-side: partition bodies 1..nbody-1 into maximal scannable chains.
+
+    A chain is a run of consecutive body ids where each body has exactly one
+    HINGE or SLIDE joint and its parent is the previous body in the run.
+    Serial manipulators (the panda) collapse into a single lax.scan whose
+    body is traced once — cutting the step function's op count (and XLA
+    compile time) by ~an order of magnitude vs full unrolling.
+    """
+    body_joints = [[] for _ in range(model.nbody)]
+    for j, b in enumerate(model.jnt_bodyid):
+        body_joints[b].append(j)
+
+    segments = []  # ("chain", [b...]) | ("body", b)
+    b = 1
+    while b < model.nbody:
+        run = []
+        cur = b
+        while (
+            cur < model.nbody
+            and len(body_joints[cur]) == 1
+            and model.jnt_type[body_joints[cur][0]] in (HINGE, SLIDE)
+            and (model.body_parent[cur] == cur - 1 if run else True)
+            and (not run or model.body_parent[cur] == run[-1])
+        ):
+            run.append(cur)
+            cur += 1
+        if len(run) >= 3:
+            segments.append(("chain", run))
+            b = run[-1] + 1
+        else:
+            segments.append(("body", b))
+            b += 1
+    return segments, body_joints
+
+
+def _scan_chain(model: Model, qpos, xp0, xq0, bodies, body_joints):
+    """FK over a hinge/slide chain via lax.scan.
+
+    Returns (xpos (k,3), xquat (k,4), cdof (k,6)) in chain order, plus the
+    final frame.
+    """
+    dtype = qpos.dtype
+    js = [body_joints[b][0] for b in bodies]
+    b_pos = model.body_pos[jnp.array(bodies)]
+    b_quat = model.body_quat[jnp.array(bodies)]
+    j_pos = model.jnt_pos[jnp.array(js)]
+    j_axis = model.jnt_axis[jnp.array(js)]
+    q = jnp.stack([qpos[model.jnt_qposadr[j]] for j in js])
+    ref = jnp.stack([model.qpos0[model.jnt_qposadr[j]] for j in js])
+    is_slide = jnp.array(
+        [1.0 if model.jnt_type[j] == SLIDE else 0.0 for j in js], dtype=dtype
+    )
+
+    def body_fn(carry, inp):
+        xp_p, xq_p = carry
+        bp, bq, jp, ja, qv, rf, slide = inp
+        xq = tm.quat_mul(xq_p, bq)
+        xp = xp_p + tm.quat_rotate(xq_p, bp)
+        anchor = tm.quat_rotate(xq, jp) + xp
+        # hinge branch
+        qloc = tm.quat_exp(ja * (qv - rf))
+        xq_h = tm.quat_mul(xq, qloc)
+        xp_h = anchor - tm.quat_rotate(xq_h, jp)
+        a_h = tm.quat_rotate(xq_h, ja)
+        cdof_h = jnp.concatenate([a_h, jnp.cross(anchor, a_h)])
+        # slide branch
+        axis_w = tm.quat_rotate(xq, ja)
+        xp_s = xp + axis_w * (qv - rf)
+        cdof_s = jnp.concatenate([jnp.zeros(3, dtype=dtype), axis_w])
+        xq_n = jnp.where(slide > 0, xq, xq_h)
+        xp_n = jnp.where(slide > 0, xp_s, xp_h)
+        cdof = jnp.where(slide > 0, cdof_s, cdof_h)
+        return (xp_n, xq_n), (xp_n, xq_n, cdof)
+
+    (xpf, xqf), (xps, xqs, cdofs) = jax.lax.scan(
+        body_fn, (xp0, xq0), (b_pos, b_quat, j_pos, j_axis, q, ref, is_slide)
+    )
+    return xps, xqs, cdofs, xpf, xqf
+
+
 def forward_kinematics(model: Model, data: Data) -> Data:
     """Compute world poses for bodies/geoms/sites and the cdof/cinert tables."""
     qpos = data.qpos
@@ -60,14 +142,22 @@ def forward_kinematics(model: Model, data: Data) -> Data:
     xpos_list = [jnp.zeros(3, dtype=dtype)]
     xquat_list = [tm.quat_identity(dtype)]
 
-    # joints grouped per body, in declaration order
-    body_joints = [[] for _ in range(model.nbody)]
-    for j, b in enumerate(model.jnt_bodyid):
-        body_joints[b].append(j)
-
+    segments, body_joints = _chain_segments(model)
     cdof_rows = [None] * model.nv
 
-    for b in range(1, model.nbody):
+    for kind, item in segments:
+        if kind == "chain":
+            bodies = item
+            p = model.body_parent[bodies[0]]
+            xps, xqs, cdofs, _, _ = _scan_chain(
+                model, qpos, xpos_list[p], xquat_list[p], bodies, body_joints
+            )
+            for i, b in enumerate(bodies):
+                xpos_list.append(xps[i])
+                xquat_list.append(xqs[i])
+                cdof_rows[model.jnt_dofadr[body_joints[b][0]]] = cdofs[i]
+            continue
+        b = item
         p = model.body_parent[b]
         xq = tm.quat_mul(xquat_list[p], model.body_quat[b])
         xp = xpos_list[p] + tm.quat_rotate(xquat_list[p], model.body_pos[b])

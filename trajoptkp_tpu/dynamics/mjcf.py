@@ -82,9 +82,10 @@ def from_mj(mj, dtype=jnp.float64) -> Model:
     def arr(x):
         return jnp.asarray(np.array(x), dtype=dtype)
 
-    # actuators: support joint-transmission motors (gear scalar)
+    # actuators: joint-transmission motors with full gear rows (a motor on a
+    # free/ball joint maps gear components onto the joint's dof span)
     trnid = tuple(int(mj.actuator_trnid[a, 0]) for a in range(mj.nu))
-    gear = np.array([mj.actuator_gear[a, 0] for a in range(mj.nu)])
+    gear = np.array(mj.actuator_gear)  # (nu, 6)
 
     return Model(
         nq=mj.nq,

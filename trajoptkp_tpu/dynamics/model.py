@@ -108,7 +108,7 @@ class Model:
     dof_frictionloss: jnp.ndarray = None # (nv,)
     dof_invweight0: jnp.ndarray = None   # (nv,) diag inverse inertia at qpos0
     body_invweight0: jnp.ndarray = None  # (nbody, 2) translation/rotation inverse weight at qpos0
-    actuator_gear: jnp.ndarray = None    # (nu,)
+    actuator_gear: jnp.ndarray = None    # (nu, 6) gear over the joint's dof span
     actuator_ctrlrange: jnp.ndarray = None  # (nu, 2)
     actuator_forcerange: jnp.ndarray = None  # (nu, 2) (+-inf if unlimited)
     geom_pos: jnp.ndarray = None         # (ngeom, 3)

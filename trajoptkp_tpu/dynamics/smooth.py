@@ -50,18 +50,24 @@ def bias_force(model: Model, data: Data) -> jnp.ndarray:
 
 
 def passive_force(model: Model, data: Data) -> jnp.ndarray:
-    """Joint springs + dampers (mj_passive analogue, smooth part only)."""
+    """Joint springs + dampers (mj_passive analogue, smooth part only).
+
+    Scalar-joint springs are one vectorised gather/scatter; ball/free springs
+    are unused by the task suite."""
     frc = -model.dof_damping * data.qvel
-    # joint springs on scalar joints (hinge/slide); ball/free springs unused here
-    spring = jnp.zeros_like(frc)
-    for j in range(model.njnt):
-        if model.jnt_type[j] in (HINGE, SLIDE):
-            qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
-            spring = spring.at[dadr].add(
-                -model.jnt_stiffness[j]
-                * (data.qpos[qadr] - model.qpos_spring[qadr])
-            )
-    return frc + spring
+    qadr = [model.jnt_qposadr[j] for j in range(model.njnt)
+            if model.jnt_type[j] in (HINGE, SLIDE)]
+    if not qadr:
+        return frc
+    dadr = jnp.array([model.jnt_dofadr[j] for j in range(model.njnt)
+                      if model.jnt_type[j] in (HINGE, SLIDE)])
+    jidx = jnp.array([j for j in range(model.njnt)
+                      if model.jnt_type[j] in (HINGE, SLIDE)])
+    qadr = jnp.array(qadr)
+    spring = -model.jnt_stiffness[jidx] * (
+        data.qpos[qadr] - model.qpos_spring[qadr]
+    )
+    return frc.at[dadr].add(spring)
 
 
 def actuator_force(model: Model, data: Data) -> jnp.ndarray:
@@ -83,12 +89,21 @@ def actuator_force(model: Model, data: Data) -> jnp.ndarray:
     ctrl = jnp.where(
         limited > 0, jnp.clip(data.ctrl, lo, hi), data.ctrl
     )
-    force = model.actuator_gear * ctrl
+    # scatter gear rows over each actuator's joint dof span
+    from .model import dof_width as _dw
+
+    dof_idx, act_idx, gear_col = [], [], []
     for a in range(model.nu):
         j = model.actuator_trnid[a]
         dadr = model.jnt_dofadr[j]
-        frc = frc.at[dadr].add(force[a])
-    return frc
+        for k in range(_dw(model.jnt_type[j])):
+            dof_idx.append(dadr + k)
+            act_idx.append(a)
+            gear_col.append(k)
+    force = ctrl[jnp.array(act_idx)] * model.actuator_gear[
+        jnp.array(act_idx), jnp.array(gear_col)
+    ]
+    return frc.at[jnp.array(dof_idx)].add(force)
 
 
 def fwd_velocity_smooth(model: Model, data: Data) -> Data:

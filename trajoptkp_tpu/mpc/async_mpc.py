@@ -163,7 +163,7 @@ class AsyncMPC:
             u = np.array(
                 [
                     float(d.qfrc_bias[self.model.jnt_dofadr[self.model.actuator_trnid[a]]])
-                    / float(self.model.actuator_gear[a])
+                    / float(self.model.actuator_gear[a, 0])
                     for a in range(self.model.nu)
                 ]
             )

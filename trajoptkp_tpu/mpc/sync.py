@@ -102,5 +102,5 @@ def gravity_compensation_ctrl(task: Task, data: Data) -> jnp.ndarray:
     for a in range(model.nu):
         j = model.actuator_trnid[a]
         dadr = model.jnt_dofadr[j]
-        u.append(data.qfrc_bias[dadr] / model.actuator_gear[a])
+        u.append(data.qfrc_bias[dadr] / model.actuator_gear[a, 0])
     return jnp.stack(u)

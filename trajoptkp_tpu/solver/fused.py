@@ -66,7 +66,8 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
         vel_sv = traj.qvel[:H][:, sv_idx]
         mask = generate_keypoints(kp_cfg, vel_sv, dt)
         A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
-            task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps
+            task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
+            filtering=cfg.filtering,
         )
         k, K, dJ, lamb, lambda_exit = backward_pass_lambda_loop(
             A, B, l_x, l_xx, l_u, l_uu, state.lamb, cfg

@@ -37,8 +37,10 @@ from flax import struct
 from ..derivs.fd import jobs_from_mask, keypoint_jacobians
 from ..dynamics.model import Data
 from ..dynamics.step import advance, forward
+from ..keypoints.filtering import filter_dynamics
 from ..keypoints.interpolate import interpolate_derivatives
-from ..keypoints.methods import generate_keypoints, percentage_derivs
+from ..keypoints.methods import (auto_adjust_mask, generate_keypoints,
+                                 percentage_derivs)
 from ..state.statevector import to_tangent
 from ..tasks.base import (Task, control_limits, cost_derivatives_gn,
                           residual_derivatives)
@@ -57,6 +59,7 @@ class ILQRConfig:
     max_lambda: float = struct.field(pytree_node=False, default=10.0)
     eps_converge: float = struct.field(pytree_node=False, default=0.02)
     deriv_budget: Optional[int] = struct.field(pytree_node=False, default=None)
+    filtering: str = struct.field(pytree_node=False, default="none")
 
 
 class Trajectory(NamedTuple):
@@ -119,7 +122,8 @@ def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray) -> Trajectory:
 
 
 def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
-                        mode: str = "fd", fd_eps: float = 1e-6):
+                        mode: str = "fd", fd_eps: float = 1e-6,
+                        filtering: str = "none"):
     """Keypoint A/B + interpolation + cost expansion along the trajectory.
 
     Returns (A, B, l_x, l_xx, l_u, l_uu, pct_derivs): A/B are (H, 2n, 2n) /
@@ -133,7 +137,27 @@ def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
         eps=fd_eps, mode=mode,
     )
     A, B = interpolate_derivatives(A_kp, B_kp, mask, model.nu)
+    A = filter_dynamics(A, filtering)
 
+    r, r_x, r_u = jax.vmap(
+        lambda qp, qv, u: residual_derivatives(task, qp, qv, u)
+    )(traj.qpos[:H], traj.qvel[:H], traj.ctrl)
+    terminal = jnp.arange(H) == H - 1
+    l_x, l_xx, l_u, l_uu = jax.vmap(
+        lambda rr, rx, ru, tm_: cost_derivatives_gn(task, rr, rx, ru, tm_)
+    )(r, r_x, r_u, terminal)
+    return A, B, l_x, l_xx, l_u, l_uu, percentage_derivs(mask)
+
+
+def _derivs_from_columns(task: Task, traj: Trajectory, mask,
+                         A_kp, B_kp, filtering: str = "none"):
+    """Like compute_derivatives but with FD columns already cached
+    (the iterative_error path reuses its bisection FD evaluations,
+    mirroring the reference's computed_keypoints cache)."""
+    model = task.model
+    H = traj.ctrl.shape[0]
+    A, B = interpolate_derivatives(A_kp, B_kp, mask, model.nu)
+    A = filter_dynamics(A, filtering)
     r, r_x, r_u = jax.vmap(
         lambda qp, qv, u: residual_derivatives(task, qp, qv, u)
     )(traj.qpos[:H], traj.qvel[:H], traj.ctrl)
@@ -321,11 +345,23 @@ def make_phase_fns(task: Task, cfg: ILQRConfig, H: int):
         return rollout(task, qpos0, qvel0, U)
 
     @jax.jit
-    def derivs_fn(traj: Trajectory):
+    def mask_fn(traj: Trajectory):
         vel_sv = traj.qvel[:H][:, jnp.array(sv.order)]
-        mask = generate_keypoints(kp_cfg, vel_sv, dt)
+        return generate_keypoints(kp_cfg, vel_sv, dt)
+
+    @jax.jit
+    def adjust_mask_fn(traj: Trajectory, expected, actual, last_pct,
+                       importances):
+        vel_sv = traj.qvel[:H][:, jnp.array(sv.order)]
+        return auto_adjust_mask(
+            vel_sv, dt, expected, actual, last_pct, importances, kp_cfg.max_N
+        )
+
+    @jax.jit
+    def derivs_fn(traj: Trajectory, mask):
         return compute_derivatives(
-            task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps
+            task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
+            filtering=cfg.filtering,
         )
 
     @jax.jit
@@ -338,7 +374,7 @@ def make_phase_fns(task: Task, cfg: ILQRConfig, H: int):
     def fp_fn(traj, k, K, old_cost):
         return forward_pass(task, traj, k, K, alphas, old_cost)
 
-    return rollout_fn, derivs_fn, bp_fn, fp_fn
+    return rollout_fn, mask_fn, adjust_mask_fn, derivs_fn, bp_fn, fp_fn
 
 
 def optimise(
@@ -362,7 +398,9 @@ def optimise(
     H = U_init.shape[0]
     if phase_fns is None:
         phase_fns = make_phase_fns(task, cfg, H)
-    rollout_fn, derivs_fn, bp_fn, fp_fn = phase_fns
+    rollout_fn, mask_fn, adjust_mask_fn, derivs_fn, bp_fn, fp_fn = phase_fns
+    kp_cfg = task.keypoint_cfg
+    use_iterative = kp_cfg is not None and kp_cfg.name == "iterative_error"
 
     t_start = _time.perf_counter()
     traj = rollout_fn(jnp.asarray(qpos0), jnp.asarray(qvel0), jnp.asarray(U_init))
@@ -375,14 +413,35 @@ def optimise(
     n_iters = 0
     cost_reduced_last_iter = True
     derivs = None
+    adjusted_mask = None  # auto-adjust overrides the method mask
+    expected = 0.0
+    last_pct = None
+    dof_importances = jnp.ones((task.sv.ndof,), task.model.dtype)
 
     for it in range(cfg.max_iterations):
         n_iters += 1
         t0 = _time.perf_counter()
         if cost_reduced_last_iter:
-            derivs = derivs_fn(traj)
+            if use_iterative:
+                from ..keypoints.iterative import iterative_error_keypoints
+
+                mask, A_kp, B_kp, _ = iterative_error_keypoints(
+                    task, traj.qpos[:H], traj.qvel[:H], traj.ctrl,
+                    kp_cfg.min_N, kp_cfg.iterative_error_threshold,
+                    mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
+                )
+                derivs = _derivs_from_columns(
+                    task, traj, mask, A_kp, B_kp, cfg.filtering
+                )
+            else:
+                mask = (
+                    adjusted_mask if adjusted_mask is not None
+                    else mask_fn(traj)
+                )
+                derivs = derivs_fn(traj, mask)
             jax.block_until_ready(derivs)
         A, B, l_x, l_xx, l_u, l_uu, pct = derivs
+        last_pct = pct
         t1 = _time.perf_counter()
 
         k, K, dJ, lamb, lambda_exit = bp_fn(A, B, l_x, l_xx, l_u, l_uu, lamb)
@@ -395,6 +454,18 @@ def optimise(
         new_cost = float(new_cost)
         jax.block_until_ready(traj_new)
         t3 = _time.perf_counter()
+
+        # auto-adjust (AdjustKeyPointMethod, KeyPointGenerator.cpp:137-207):
+        # expected vs actual cost reduction steers the next derivative budget
+        if kp_cfg is not None and kp_cfg.auto_adjust:
+            a = float(best_alpha)
+            expected = -(a * float(dJ) + (a * a / 2.0) * float(dJ))
+            actual = old_cost - new_cost
+            adjusted_mask = adjust_mask_fn(
+                traj_new if bool(accepted) else traj,
+                jnp.asarray(expected), jnp.asarray(actual),
+                pct, dof_importances,
+            )
 
         t_derivs.append((t1 - t0) * 1e3)
         t_bp.append((t2 - t1) * 1e3)
