@@ -67,6 +67,29 @@ class ControlBuffer:
         with self.lock:
             return self.index
 
+    def has_plan(self):
+        with self.lock:
+            return self.controls is not None
+
+
+class _NativeBufferAdapter:
+    """Adapts NativeControlBuffer to the ControlBuffer interface."""
+
+    def __init__(self, native):
+        self._n = native
+
+    def install(self, controls, index, qpos_plan, qvel_plan):
+        self._n.publish(np.asarray(controls, dtype=np.float64), index)
+
+    def next_control(self):
+        return self._n.next_control()
+
+    def consumed(self):
+        return self._n.consumed()
+
+    def has_plan(self):
+        return self._n.stats["plans_published"] > 0
+
 
 class AsyncMPC:
     """Planner/actor pair for one task instance."""
@@ -100,7 +123,20 @@ class AsyncMPC:
         self._noise_std = (limits[:, 1] - limits[:, 0]) / 100.0 * noise_pct
         self._rng = np.random.default_rng(seed)
 
-        self.buffer = ControlBuffer()
+        # native lock-free buffer + absolute-deadline ticker when the C++
+        # core is available (mpc/native); Python fallback otherwise
+        self._use_native = False
+        try:
+            from .native_executor import NativeControlBuffer, RtTicker
+
+            self.buffer = _NativeBufferAdapter(
+                NativeControlBuffer(horizon, task.model.nu)
+            )
+            self._ticker = RtTicker(self.dt) if realtime else None
+            self._use_native = True
+        except Exception:
+            self.buffer = ControlBuffer()
+            self._ticker = None
         self._stop = threading.Event()
         self._state_lock = threading.Lock()
         self._qpos = np.asarray(task.qpos_start, dtype=np.float64)
@@ -184,7 +220,7 @@ class AsyncMPC:
         )
         planner.start()
         # wait for the first plan
-        while self.buffer.controls is None:
+        while not self.buffer.has_plan():
             time.sleep(1e-3)
         try:
             for t in range(max_steps):
@@ -197,10 +233,13 @@ class AsyncMPC:
                     if bool(done):
                         break
                 if self.realtime:
-                    # sleep-compensated wall-clock pacing (`main.cpp:552-562`)
-                    elapsed = time.perf_counter() - tic
-                    if elapsed < self.dt:
-                        time.sleep(self.dt - elapsed)
+                    if self._ticker is not None:
+                        self._ticker.wait()  # native absolute-deadline pacing
+                    else:
+                        # sleep-compensated pacing (`main.cpp:552-562`)
+                        elapsed = time.perf_counter() - tic
+                        if elapsed < self.dt:
+                            time.sleep(self.dt - elapsed)
         finally:
             self._stop.set()
             planner.join(timeout=5.0)
