@@ -211,3 +211,33 @@ def test_task_registry():
     assert t.name == "acrobot"
     with pytest.raises(KeyError):
         make_task("nonexistent")
+
+
+# ---------------------------------------------------------------------------
+# PredictiveSampling + GradDescent
+# ---------------------------------------------------------------------------
+
+
+def test_predictive_sampling_improves(task):
+    from trajoptkp_tpu.solver.sampling import (SamplingConfig,
+                                               make_sampling_optimise)
+
+    H = 100
+    opt = jax.jit(make_sampling_optimise(task, SamplingConfig(
+        max_iterations=8, num_rollouts=8), H))
+    res = opt(task.qpos_start, task.qvel_start, jnp.zeros((H, 1)),
+              jax.random.PRNGKey(0))
+    assert float(res.final_cost) < float(res.initial_cost)
+    # controls within limits
+    assert float(jnp.max(jnp.abs(res.traj.ctrl))) <= 100.0 + 1e-9
+
+
+def test_grad_descent_improves(task):
+    from trajoptkp_tpu.solver.sampling import (GradDescentConfig,
+                                               make_grad_descent_optimise)
+
+    H = 100
+    opt = jax.jit(make_grad_descent_optimise(
+        task, GradDescentConfig(max_iterations=5), H))
+    res = opt(task.qpos_start, task.qvel_start, jnp.zeros((H, 1)))
+    assert float(res.final_cost) < float(res.initial_cost)

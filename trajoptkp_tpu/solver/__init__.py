@@ -3,3 +3,5 @@ from .ilqr import (ILQRConfig, ILQRStats, Trajectory, optimise, rollout,  # noqa
                    compute_derivatives, default_alphas, make_phase_fns)
 from .ilqr_svr import SVRConfig, make_svr_optimise, dof_importances  # noqa: F401
 from .fused import make_fused_optimise, FusedResult  # noqa: F401
+from .sampling import (SamplingConfig, make_sampling_optimise,  # noqa: F401
+                       GradDescentConfig, make_grad_descent_optimise)
