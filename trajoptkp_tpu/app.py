@@ -114,6 +114,10 @@ def main(argv=None):
         _openloop_campaign(task, cfg, H, args)
     elif mode == "Generate_syncronus_mpc_data":
         _sync_mpc_campaign(task, cfg, args)
+    elif mode == "Generate_asynchronus_mpc_data":
+        _async_mpc_campaign(task, cfg, args)
+    elif mode == "Generate_dynamics_data":
+        _dynamics_data(task, cfg, args)
     else:
         raise SystemExit(f"unknown runMode: {mode}")
 
@@ -197,6 +201,37 @@ def _sync_mpc_campaign(task, cfg, args):
         "replan_rate_hz": n_replans / wall,
         "mean_running_cost": float(jnp.mean(res.cost_hist)),
     }))
+
+
+def _async_mpc_campaign(task, cfg, args):
+    from .bench import async_mpc_campaign
+
+    rng = np.random.default_rng(args.seed)
+    N = min(args.num_scenes, 10)  # async trials are wall-clock serial
+    qpos = np.tile(np.asarray(task.qpos_start), (N, 1))
+    n_rj = min(task.model.nu, task.model.nq)
+    qpos[:, :n_rj] += 0.2 * rng.standard_normal((N, n_rj))
+    out_dir = os.path.join(
+        args.out_dir, f"{task.name}_async_mpc_{time.strftime('%Y%m%d_%H%M')}"
+    )
+    rows = async_mpc_campaign(
+        task, cfg, qpos, task.mpc_horizon, max_steps=500, out_dir=out_dir
+    )
+    print(json.dumps({"campaign": out_dir, "trials": len(rows)}))
+
+
+def _dynamics_data(task, cfg, args):
+    from .bench import dump_derivatives
+    from .solver.ilqr import rollout
+
+    H = min(args.horizon or task.openloop_horizon, 200)
+    U = _init_controls(task, H)
+    traj = rollout(task, task.qpos_start, task.qvel_start, U)
+    out_dir = os.path.join(
+        args.out_dir, f"{task.name}_dynamics_{time.strftime('%Y%m%d_%H%M')}"
+    )
+    dump_derivatives(task, traj, out_dir, cfg)
+    print(json.dumps({"dir": out_dir, "horizon": H}))
 
 
 if __name__ == "__main__":

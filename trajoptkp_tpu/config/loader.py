@@ -61,6 +61,8 @@ def _populate_registry():
     from ..tasks.reaching import make_reaching
     from ..tasks.locomotion import make_walker
     from ..tasks.pushing import make_pushing
+    from ..tasks.humanoid import make_humanoid
+    from ..tasks.manipulation import make_box_sweep, make_place
 
     _REGISTRY.setdefault("acrobot", make_acrobot)
     _REGISTRY.setdefault("pentabot", make_pentabot)
@@ -78,6 +80,18 @@ def _populate_registry():
     _REGISTRY.setdefault(
         "pushing_moderate_clutter", lambda **kw: make_pushing(7, **kw)
     )
+    _REGISTRY.setdefault("humanoid", make_humanoid)
+    _REGISTRY.setdefault("box_sweep", make_box_sweep)
+    _REGISTRY.setdefault("place", make_place)
+
+    def _hopper(**kw):
+        # reference parity: Hopper is declared but unimplemented
+        # (`/root/reference/src/main.cpp:799-802` exits with "not implemented")
+        raise NotImplementedError(
+            "hopper task is not implemented (matches the reference stub)"
+        )
+
+    _REGISTRY.setdefault("hopper", _hopper)
 
 
 _populate_registry()

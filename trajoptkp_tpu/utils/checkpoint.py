@@ -17,10 +17,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..solver.ilqr import Trajectory
 
-
-def save_trajectory(path: str, traj: Trajectory, lamb: Optional[float] = None,
+def save_trajectory(path: str, traj, lamb: Optional[float] = None,
                     meta: Optional[dict] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
@@ -38,6 +36,8 @@ def save_trajectory(path: str, traj: Trajectory, lamb: Optional[float] = None,
 
 def load_trajectory(path: str, dtype=None):
     """Returns (Trajectory, lamb or None)."""
+    from ..solver.ilqr import Trajectory
+
     z = np.load(path)
     cast = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
     traj = Trajectory(

@@ -1,0 +1,1 @@
+from .render import render_frame, render_trajectory  # noqa: F401
