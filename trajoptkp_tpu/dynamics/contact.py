@@ -28,10 +28,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.linalg import sym_solve
 from .collision import pair_contacts, pair_ncon
 from .model import BALL, FREE, HINGE, SLIDE, Data, Model
 
-_NEWTON_ITERS = 12
+_NEWTON_ITERS = 8
 
 
 def _impedance(solimp, pos):
@@ -85,61 +86,97 @@ def _combine(model: Model, g1: int, g2: int):
     return solref, solimp, friction, margin
 
 
-def _contact_rows(model: Model, data: Data) -> list:
-    """Pyramidal rows for every candidate contact slot (static count)."""
-    rows = []
+def _contact_rows(model: Model, data: Data):
+    """Pyramidal rows for every candidate contact slot, assembled in one
+    vectorised block (narrow phase stays per-pair — heterogeneous shapes —
+    but impedance/Jacobian/row construction batches over all slots).
+
+    Returns a Rows batch of 4 * total_slots rows, or None."""
+    if not model.contact_pairs:
+        return None
     dtype = data.qpos.dtype
-    # translational self-inertia approximation per body (for R): use
-    # dof_invweight0-style scalar — approximate with 1/mass (world: 0)
     inv_mass = model.body_invweight0[:, 0]
+
+    dists, poss, frames = [], [], []
+    b1s, b2s = [], []
+    solrefs, solimps, frictions, margins = [], [], [], []
     for (g1, g2) in model.contact_pairs:
         t1, t2 = model.geom_type[g1], model.geom_type[g2]
         b1, b2 = model.geom_bodyid[g1], model.geom_bodyid[g2]
         solref, solimp, friction, margin = _combine(model, g1, g2)
-        dists, poss, frames = pair_contacts(
+        dd, pp, ff = pair_contacts(
             t1, t2,
             data.geom_xpos[g1], data.geom_xmat[g1], model.geom_size[g1],
             data.geom_xpos[g2], data.geom_xmat[g2], model.geom_size[g2],
         )
-        n_slots = dists.shape[0]
-        for s in range(n_slots):
-            dist, pos, frame = dists[s], poss[s], frames[s]
-            include = dist < margin
-            imp_pos = dist - margin
-            d = _impedance(solimp, imp_pos)
-            k, b = _kb(solref, solimp, d)
-            jac_rel = _point_jacobian(model, data, b2, pos) - _point_jacobian(
-                model, data, b1, pos
-            )  # (3, nv): velocity of b2 point relative to b1 point
-            Jn = frame[0] @ jac_rel
-            diag_approx = inv_mass[b1] + inv_mass[b2]
-            # MuJoCo pyramidal R (verified against efc_R):
-            #   R = (1-d)/d * (invw1+invw2) * 2*mu0^2*(1+mu0^2), same all rows
-            mu0 = friction[0]
-            R_row = (
-                jnp.maximum((1.0 - d) / jnp.maximum(d, 1e-6), 1e-9)
-                * jnp.maximum(diag_approx, 1e-9)
-                * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
-            )
-            # pyramidal edge rows (Jn +- mu * Jt_j), j = 1, 2, with the single
-            # slide coefficient mu = friction[0] (geom_friction layout is
-            # (slide, torsion, roll)) — verified against efc_J/efc_aref
-            for j in (1, 2):
-                Jt = frame[j] @ jac_rel
-                mu = mu0
-                for sgn in (1.0, -1.0):
-                    Jrow = Jn + sgn * mu * Jt
-                    vel = Jrow @ data.qvel
-                    aref = -b * vel - k * imp_pos
-                    rows.append(
-                        Rows(
-                            J=Jrow,
-                            aref=aref,
-                            R=R_row,
-                            active=include.astype(dtype),
-                        )
-                    )
-    return rows
+        n_slots = dd.shape[0]
+        dists.append(dd)
+        poss.append(pp)
+        frames.append(ff)
+        b1s += [b1] * n_slots
+        b2s += [b2] * n_slots
+        solrefs += [solref] * n_slots
+        solimps += [solimp] * n_slots
+        frictions += [friction] * n_slots
+        margins += [margin] * n_slots
+
+    dist = jnp.concatenate(dists)                 # (S,)
+    pos = jnp.concatenate(poss)                   # (S, 3)
+    frame = jnp.concatenate(frames)               # (S, 3, 3)
+    solref = jnp.stack(solrefs)
+    solimp = jnp.stack(solimps)
+    friction = jnp.stack(frictions)
+    margin = jnp.stack(margins)
+    b1a = jnp.array(b1s)
+    b2a = jnp.array(b2s)
+    S = dist.shape[0]
+
+    include = dist < margin
+    imp_pos = dist - margin
+    d = jax.vmap(_impedance)(solimp, imp_pos)
+    k, b = jax.vmap(_kb)(solref, solimp, d)
+
+    # relative point Jacobians, batched over slots: (S, 3, nv)
+    w = data.cdof[:, :3]
+    v = data.cdof[:, 3:]
+    mask_rel = model.ancestor_mask[b2a] - model.ancestor_mask[b1a]  # (S, nv)
+    # jac(point, body) = (v + w x point) masked; relative = mask difference
+    jac_pt = v[None, :, :] + jnp.cross(
+        w[None, :, :], pos[:, None, :]
+    )  # (S, nv, 3)
+    jac_rel = jac_pt * mask_rel[:, :, None]       # (S, nv, 3)
+
+    Jn = jnp.einsum("si,svi->sv", frame[:, 0], jac_rel)   # (S, nv)
+    Jt1 = jnp.einsum("si,svi->sv", frame[:, 1], jac_rel)
+    Jt2 = jnp.einsum("si,svi->sv", frame[:, 2], jac_rel)
+
+    mu0 = friction[:, 0]
+    diag_approx = inv_mass[b1a] + inv_mass[b2a]
+    # MuJoCo pyramidal R (verified against efc_R):
+    #   R = (1-d)/d * (invw1+invw2) * 2*mu0^2*(1+mu0^2), same for all rows
+    R_slot = (
+        jnp.maximum((1.0 - d) / jnp.maximum(d, 1e-6), 1e-9)
+        * jnp.maximum(diag_approx, 1e-9)
+        * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
+    )
+
+    # pyramidal edge rows (Jn +- mu * Jt_j), j = 1, 2, single slide mu
+    # (geom_friction layout (slide, torsion, roll)) — verified vs efc_J/aref
+    mu = mu0[:, None]
+    J4 = jnp.concatenate(
+        [Jn + mu * Jt1, Jn - mu * Jt1, Jn + mu * Jt2, Jn - mu * Jt2], axis=0
+    )  # (4S, nv)
+    vel4 = J4 @ data.qvel
+    k4 = jnp.tile(k, 4)
+    b4 = jnp.tile(b, 4)
+    imp4 = jnp.tile(imp_pos, 4)
+    aref4 = -b4 * vel4 - k4 * imp4
+    return Rows(
+        J=J4,
+        aref=aref4,
+        R=jnp.tile(R_slot, 4),
+        active=jnp.tile(include, 4).astype(dtype),
+    )
 
 
 def _limit_rows(model: Model, data: Data):
@@ -187,25 +224,13 @@ def _limit_rows(model: Model, data: Data):
 
 
 def assemble_constraints(model: Model, data: Data) -> Rows:
-    crows = _contact_rows(model, data)
-    parts = []
-    lrows = _limit_rows(model, data)
-    if lrows is not None:
-        parts.append(lrows)
-    if crows:
-        parts.append(
-            Rows(
-                J=jnp.stack([r.J for r in crows]),
-                aref=jnp.stack([r.aref for r in crows]),
-                R=jnp.stack([r.R for r in crows]),
-                active=jnp.stack([r.active for r in crows]),
-            )
-        )
+    parts = [p for p in (_limit_rows(model, data), _contact_rows(model, data))
+             if p is not None]
     return Rows(
         J=jnp.concatenate([p.J for p in parts]),
-        aref=jnp.concatenate([jnp.atleast_1d(p.aref) for p in parts]),
-        R=jnp.concatenate([jnp.atleast_1d(p.R) for p in parts]),
-        active=jnp.concatenate([jnp.atleast_1d(p.active) for p in parts]),
+        aref=jnp.concatenate([p.aref for p in parts]),
+        R=jnp.concatenate([p.R for p in parts]),
+        active=jnp.concatenate([p.active for p in parts]),
     )
 
 
@@ -217,8 +242,7 @@ def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Dat
         return data.replace(qfrc_constraint=jnp.zeros_like(qfrc_smooth))
 
     M = data.qM
-    Lm = jax.scipy.linalg.cho_factor(M)
-    a0 = jax.scipy.linalg.cho_solve(Lm, qfrc_smooth)  # qacc_smooth
+    a0 = sym_solve(M, qfrc_smooth)  # qacc_smooth
 
     J = rows.J * rows.active[:, None]
     aref = rows.aref
@@ -230,10 +254,7 @@ def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Dat
         gate = (y < 0).astype(x.dtype) * invR
         grad = M @ (x - a0) + J.T @ (gate * y)
         H = M + jnp.einsum("in,i,im->nm", J, gate, J)
-        Lh = jax.scipy.linalg.cho_factor(
-            H + 1e-10 * jnp.eye(model.nv, dtype=x.dtype)
-        )
-        dx = -jax.scipy.linalg.cho_solve(Lh, grad)
+        dx = -sym_solve(H + 1e-10 * jnp.eye(model.nv, dtype=x.dtype), grad)
 
         # backtracking line search on the merit (cost is piecewise quadratic)
         def cost(z):
@@ -243,14 +264,17 @@ def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Dat
                 invR * pen * pen
             )
 
+        # convex piecewise-quadratic objective: the full Newton step is
+        # almost always accepted; a single half-step guard handles
+        # active-set flips (2 candidate evals instead of a 5-way search)
         c0 = cost(x)
-        alphas = jnp.array([1.0, 0.5, 0.25, 0.125, 0.0625], dtype=x.dtype)
-        costs = jax.vmap(lambda a: cost(x + a * dx))(alphas)
-        best = jnp.argmin(costs)
-        x_new = jnp.where(costs[best] < c0, 1.0, 0.0) * (
-            x + alphas[best] * dx
-        ) + jnp.where(costs[best] < c0, 0.0, 1.0) * x
-        return x_new, None
+        x1 = x + dx
+        x2 = x + 0.5 * dx
+        c1 = cost(x1)
+        c2 = cost(x2)
+        best_step = jnp.where((c1 <= c2) & (c1 < c0), x1,
+                              jnp.where((c2 < c0), x2, x))
+        return best_step, None
 
     x, _ = jax.lax.scan(newton_step, a0, None, length=_NEWTON_ITERS)
     y = J @ x - aref

@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.linalg import sym_solve
 from .constraint import constraint_force
 from .fk import forward_kinematics
 from .integrate import integrate_pos
@@ -30,8 +31,7 @@ def forward(model: Model, data: Data) -> Data:
     qfrc_smooth = data.qfrc_passive + data.qfrc_actuator - data.qfrc_bias
     data = constraint_force(model, data, qfrc_smooth)
     rhs = qfrc_smooth + data.qfrc_constraint
-    L = jax.scipy.linalg.cho_factor(data.qM)
-    qacc = jax.scipy.linalg.cho_solve(L, rhs)
+    qacc = sym_solve(data.qM, rhs)
     return data.replace(qacc=qacc)
 
 
@@ -46,8 +46,7 @@ def advance(model: Model, data: Data) -> Data:
     rhs = qfrc_smooth + data.qfrc_constraint
     # implicit joint damping: (M + h D) qacc = f   (mj_Euler semantics)
     MhD = data.qM + h * jnp.diag(model.dof_damping)
-    L = jax.scipy.linalg.cho_factor(MhD)
-    qacc = jax.scipy.linalg.cho_solve(L, rhs)
+    qacc = sym_solve(MhD, rhs)
     qvel_new = data.qvel + h * qacc
     qpos_new = integrate_pos(model, data.qpos, qvel_new, h)
     return data.replace(

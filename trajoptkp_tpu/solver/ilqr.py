@@ -192,9 +192,11 @@ def backward_pass(A, B, l_x, l_xx, l_u, l_uu, lamb):
         Q_xx = lxx_t + A_t.T @ VA
         Q_uu = luu_t + B_t.T @ (V_xx @ B_t)
         Q_ux = B_t.T @ VA
-        L = jnp.linalg.cholesky(Q_uu + lamb * eye_u)
-        k_t = -jax.scipy.linalg.cho_solve((L, True), Q_u)
-        K_t = -jax.scipy.linalg.cho_solve((L, True), Q_ux)
+        from ..utils.linalg import chol_solve_unrolled, chol_unrolled
+
+        L = chol_unrolled(Q_uu + lamb * eye_u)
+        k_t = -chol_solve_unrolled(L, Q_u)
+        K_t = -chol_solve_unrolled(L, Q_ux)
         V_x_n = Q_x + K_t.T @ (Q_uu @ k_t) + K_t.T @ Q_u + Q_ux.T @ k_t
         V_xx_n = Q_xx + K_t.T @ (Q_uu @ K_t) + K_t.T @ Q_ux + Q_ux.T @ K_t
         V_xx_n = 0.5 * (V_xx_n + V_xx_n.T)
