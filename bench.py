@@ -32,12 +32,9 @@ def main():
 
     dtype = jnp.float32
     task = make_acrobot(dtype=dtype)
-    # cheap-control weighting so all 10 iterations do productive work
-    # (the YAML torque weight makes zero-control a near-optimum; timing a
-    # stalled solve would flatter us)
+    # reference workload weights (TaskConfigs/toys/acrobot.yaml) + SI_1 full
+    # derivatives — the exact configuration of the baseline row
     task = task.replace(
-        weights=jnp.array([0.0, 0.0, 0.001, 0.001, 0.01], dtype),
-        weights_terminal=jnp.array([100.0, 100.0, 1.0, 1.0, 0.01], dtype),
         keypoint_cfg=task.keypoint_cfg.replace(name="set_interval", min_N=1),
     )
     H = 500

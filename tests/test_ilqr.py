@@ -34,8 +34,10 @@ def test_rollout_cost_decomposition(acrobot_cheap_ctrl):
 
 
 def test_swingup_end_to_end(acrobot_cheap_ctrl):
-    """Acrobot swing-up solves with cheap control: >80% cost reduction and
-    the tip reaches near-upright."""
+    """Acrobot reaches its scene goal with cheap control: >80% cost
+    reduction and the chain ends near the target pose (canonical scene =
+    TestTasks/acrobot/0.csv: start [0.248, 2.085], goal stable-down
+    [pi, 0])."""
     task = acrobot_cheap_ctrl
     H = 500
     U0 = jnp.zeros((H, 1))
@@ -44,14 +46,17 @@ def test_swingup_end_to_end(acrobot_cheap_ctrl):
     )
     assert stats.cost_reduction > 0.8, stats.cost_reduction
     final = np.asarray(traj.qpos[-1])
-    assert abs(final[0]) < 0.3 and abs(final[1]) < 0.3
+    goal = np.asarray(task.residual_targets[:2])
+    assert abs(final[0] - goal[0]) < 0.3 and abs(final[1] - goal[1]) < 0.3
     # cost history is monotonically non-increasing (accepted steps only)
     hist = np.array(stats.cost_history)
     assert np.all(np.diff(hist) <= 1e-9)
 
 
 def test_keypoint_modes_consistent(acrobot_cheap_ctrl):
-    """SI_5 + interpolation lands within a few % of SI_1 full FD cost."""
+    """SI_5 + interpolation achieves nearly the SI_1 full-FD cost reduction
+    (the reference's comparison metric — summary.csv column 1; final costs
+    themselves are near zero at convergence so their ratio is ill-posed)."""
     task = acrobot_cheap_ctrl
     H = 300
     U0 = jnp.zeros((H, 1))
@@ -63,8 +68,9 @@ def test_keypoint_modes_consistent(acrobot_cheap_ctrl):
         _, stats = optimise(
             t, t.qpos_start, t.qvel_start, U0, ILQRConfig(max_iterations=8)
         )
-        cfgs[minN] = stats.final_cost
-    assert abs(cfgs[5] - cfgs[1]) / cfgs[1] < 0.25, cfgs
+        cfgs[minN] = stats.cost_reduction
+    assert cfgs[1] > 0.8, cfgs
+    assert abs(cfgs[5] - cfgs[1]) < 0.05, cfgs
 
 
 def test_backward_pass_pd_failure_raises_lambda(acrobot_cheap_ctrl):

@@ -9,9 +9,12 @@ from trajoptkp_tpu.config import available_tasks, make_task
 from trajoptkp_tpu.solver import ilqr as il
 
 ALL_TASKS = available_tasks()
+# soft-body scenes (100+ dofs, panda + lattice) compile for minutes on the
+# CPU test platform; they have dedicated small-scale coverage in test_soft.py
+_SLOW_SOFT = {"push_soft", "push_soft_rigid"}
 
 
-@pytest.mark.parametrize("name", ALL_TASKS)
+@pytest.mark.parametrize("name", [t for t in ALL_TASKS if t not in _SLOW_SOFT])
 def test_task_builds_and_rolls_out(name):
     if name == "hopper":
         with pytest.raises(NotImplementedError):

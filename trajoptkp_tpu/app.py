@@ -39,7 +39,11 @@ def build_parser():
     p.add_argument("--horizon", type=int, default=None)
     p.add_argument("--maxIter", type=int, default=10)
     p.add_argument("--minIter", type=int, default=5)
-    p.add_argument("--deriv_mode", default="fd", choices=["fd", "ad"])
+    p.add_argument(
+        "--deriv_mode", default="auto", choices=["auto", "fd", "ad"],
+        help="auto: central FD (reference parity) in f64; exact autodiff "
+        "columns on f32/TPU, where eps=1e-6 FD is below float precision",
+    )
     p.add_argument("--num_scenes", type=int, default=100)
     p.add_argument("--out_dir", default="TestingData")
     p.add_argument("--scenes_dir", help="TestTasks-format scene CSV directory")
@@ -64,6 +68,12 @@ def main(argv=None):
     dtype = jnp.float32 if args.f32 else jnp.float64
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
+    if args.deriv_mode == "auto":
+        # TPU executes f64 programs in f32 (no native double support):
+        # central FD at eps=1e-6 drowns in rounding noise there, so use the
+        # exact forward-mode columns of the differentiable stepper instead.
+        on_tpu = jax.default_backend() == "tpu"
+        args.deriv_mode = "ad" if (args.f32 or on_tpu) else "fd"
 
     task = make_task(args.task, dtype=dtype)
     if args.task_config:

@@ -62,7 +62,8 @@ def _populate_registry():
     from ..tasks.locomotion import make_walker
     from ..tasks.pushing import make_pushing
     from ..tasks.humanoid import make_humanoid
-    from ..tasks.manipulation import make_box_sweep, make_place
+    from ..tasks.manipulation import (make_box_sweep, make_place,
+                                      make_sweep_multiple, make_threed_push)
 
     _REGISTRY.setdefault("acrobot", make_acrobot)
     _REGISTRY.setdefault("pentabot", make_pentabot)
@@ -83,6 +84,16 @@ def _populate_registry():
     _REGISTRY.setdefault("humanoid", make_humanoid)
     _REGISTRY.setdefault("box_sweep", make_box_sweep)
     _REGISTRY.setdefault("place", make_place)
+    _REGISTRY.setdefault("threeD_push", make_threed_push)
+    _REGISTRY.setdefault("sweep_multiple", make_sweep_multiple)
+    from ..tasks.soft import make_push_soft
+
+    _REGISTRY.setdefault(
+        "push_soft", lambda **kw: make_push_soft(into_rigid=False, **kw)
+    )
+    _REGISTRY.setdefault(
+        "push_soft_rigid", lambda **kw: make_push_soft(into_rigid=True, **kw)
+    )
 
     def _hopper(**kw):
         # reference parity: Hopper is declared but unimplemented

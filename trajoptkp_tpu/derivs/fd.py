@@ -263,6 +263,23 @@ def _batched_ad_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
     return cols[0], cols[1], cols[2]
 
 
+def default_chunk_size(model: Model) -> int:
+    """Jobs per derivative chunk, sized to the model's per-job footprint.
+
+    Each job expands to 6 stepper configurations whose FK/CRBA intermediates
+    scale with nbody*nv and nv^2; a fixed chunk that is right for a 2-dof
+    acrobot OOMs HBM on a 115-dof soft-body scene.  Budget ~1.5 GB of f32
+    intermediates per chunk (v5e has 16 GB; the A/B output tables and XLA
+    fusion slack take the rest).
+    """
+    per_job_floats = 6 * (
+        8 * model.nbody * model.nv + 2 * model.nv * model.nv
+        + 32 * max(len(model.contact_pairs), 1)
+    )
+    target_floats = 384_000_000  # 1.5 GB at f32
+    return int(max(64, min(4096, target_floats // max(per_job_floats, 1))))
+
+
 def keypoint_jacobians(
     model: Model,
     sv: StateVector,
@@ -272,14 +289,15 @@ def keypoint_jacobians(
     jobs: DerivJobs,
     eps: float = 1e-6,
     mode: str = "fd",
-    chunk_size: int = 4096,
+    chunk_size: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute A/B columns at all keypoint jobs in one batched launch.
 
     Jobs stream through the device in chunks of `chunk_size` (a lax.scan
     accumulating into the A/B tables) so memory stays bounded at long
     horizons — full-FD push_mcl-class problems have 10k+ jobs whose
-    unchunked intermediates would exceed HBM.
+    unchunked intermediates would exceed HBM.  Default chunk size adapts to
+    the model's per-job memory footprint (default_chunk_size).
 
     Returns:
       A_kp: (H, 2n, 2n) with computed columns scattered in (others zero)
@@ -292,6 +310,8 @@ def keypoint_jacobians(
     col_fn = _batched_fd_columns if mode == "fd" else _batched_ad_columns
 
     budget = jobs.budget
+    if chunk_size is None:
+        chunk_size = default_chunk_size(model)
     chunk = min(chunk_size, budget)
     n_chunks = -(-budget // chunk)
     pad = n_chunks * chunk - budget

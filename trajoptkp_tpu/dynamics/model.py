@@ -86,6 +86,19 @@ class Model:
     geom_names: Tuple[str, ...] = struct.field(pytree_node=False)
     site_names: Tuple[str, ...] = struct.field(pytree_node=False)
     integrator: str = struct.field(pytree_node=False, default="euler")
+    # ---- soft body ("flex") particle lattice — empty when unused.
+    # The reference's soft bodies are MuJoCo flex objects
+    # (`/root/reference/TaskConfigs/soft_body_manipulation/push_soft.yaml:31-36`,
+    # plugin loading `src/ModelTranslator/ModelTranslator.cpp:80-86`).  Here a
+    # soft body is a lattice of particle bodies (3 slide dofs each, sphere
+    # collision geoms) coupled by edge spring-dampers evaluated in
+    # `flex.flex_passive_force` — pure array math, no plugin.
+    flex_vertbodyid: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=()
+    )
+    flex_edges: Tuple[Tuple[int, int], ...] = struct.field(
+        pytree_node=False, default=()
+    )
 
     # ---- traced numeric parameters
     qpos0: jnp.ndarray = None            # (nq,) reference configuration
@@ -125,6 +138,10 @@ class Model:
     # ---- precomputed topology masks (traced floats; used in einsum math)
     ancestor_mask: jnp.ndarray = None    # (nbody, nv) 1.0 if dof on root-path of body
     dof_dot_mask: jnp.ndarray = None  # (nv, nv) [i, j] = 1.0 if dof j strictly precedes dof i
+    # ---- soft-body traced parameters (None when flex_vertbodyid is empty)
+    flex_edge_length0: jnp.ndarray = None   # (nedge,) rest lengths
+    flex_edge_stiffness: jnp.ndarray = None # (nedge,)
+    flex_edge_damping: jnp.ndarray = None   # (nedge,)
 
     @property
     def dtype(self):

@@ -55,6 +55,10 @@ def passive_force(model: Model, data: Data) -> jnp.ndarray:
     Scalar-joint springs are one vectorised gather/scatter; ball/free springs
     are unused by the task suite."""
     frc = -model.dof_damping * data.qvel
+    if model.flex_edges:
+        from .flex import flex_passive_force
+
+        frc = frc + flex_passive_force(model, data)
     qadr = [model.jnt_qposadr[j] for j in range(model.njnt)
             if model.jnt_type[j] in (HINGE, SLIDE)]
     if not qadr:

@@ -45,7 +45,12 @@ def advance(model: Model, data: Data) -> Data:
     qfrc_smooth = data.qfrc_passive + data.qfrc_actuator - data.qfrc_bias
     rhs = qfrc_smooth + data.qfrc_constraint
     # implicit joint damping: (M + h D) qacc = f   (mj_Euler semantics)
-    MhD = data.qM + h * jnp.diag(model.dof_damping)
+    damping = model.dof_damping
+    if model.flex_edges:
+        from .flex import flex_damping_diag
+
+        damping = damping + flex_damping_diag(model, data)
+    MhD = data.qM + h * jnp.diag(damping)
     qacc = sym_solve(MhD, rhs)
     qvel_new = data.qvel + h * qacc
     qpos_new = integrate_pos(model, data.qpos, qvel_new, h)

@@ -120,7 +120,10 @@ class AsyncMPC:
 
         limits = np.asarray(control_limits(task))
         self._limits = limits
-        self._noise_std = (limits[:, 1] - limits[:, 0]) / 100.0 * noise_pct
+        rng_width = limits[:, 1] - limits[:, 0]
+        # unlimited actuators have infinite range: no range-scaled noise
+        rng_width = np.where(np.isfinite(rng_width), rng_width, 0.0)
+        self._noise_std = rng_width / 100.0 * noise_pct
         self._rng = np.random.default_rng(seed)
 
         # native lock-free buffer + absolute-deadline ticker when the C++

@@ -49,7 +49,10 @@ def make_sync_mpc(
     mpc_cfg = cfg.replace(max_iterations=1, min_iterations=1)
     optimise = make_fused_optimise(task, mpc_cfg, horizon)
     limits = control_limits(task)
-    noise_std = (limits[:, 1] - limits[:, 0]) / 100.0 * noise_pct
+    rng_width = limits[:, 1] - limits[:, 0]
+    # unlimited actuators have infinite range: no range-scaled noise
+    rng_width = jnp.where(jnp.isfinite(rng_width), rng_width, 0.0)
+    noise_std = rng_width / 100.0 * noise_pct
 
     def one_replan(carry, _):
         qpos, qvel, U, key = carry

@@ -45,6 +45,10 @@ class Task:
     task_complete_fn: Optional[Callable] = struct.field(
         pytree_node=False, default=None
     )
+    # body whose position the EE-waypoint init-control heuristic pushes
+    # toward the target (PushBaseClass semantics); "goal" for rigid pushing,
+    # a central jelly vertex for soft pushing.
+    push_object_body: str = struct.field(pytree_node=False, default="goal")
     model: Model = None
     sv: StateVector = None
     residual_targets: jnp.ndarray = None   # flat target array (layout per task)
@@ -113,5 +117,15 @@ def cost_derivatives_gn(task: Task, r, r_x, r_u, terminal):
 
 
 def control_limits(task: Task) -> jnp.ndarray:
-    """(nu, 2) lower/upper ctrl bounds (ReturnControlLimits analogue)."""
-    return task.model.actuator_ctrlrange
+    """(nu, 2) lower/upper ctrl bounds (ReturnControlLimits analogue).
+
+    MuJoCo stores (0, 0) for actuators with ctrllimited=false — those must
+    map to (-inf, +inf), not a clamp to zero (mj_fwdActuation only clamps
+    when the limited flag is set)."""
+    model = task.model
+    lim = model.actuator_ctrlrange
+    limited = jnp.array(
+        [bool(l) for l in model.actuator_ctrllimited]
+    )[:, None]
+    inf = jnp.array([-jnp.inf, jnp.inf], dtype=lim.dtype)
+    return jnp.where(limited, lim, inf[None, :])

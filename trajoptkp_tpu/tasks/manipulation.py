@@ -1,4 +1,5 @@
-"""Additional manipulation tasks: box_sweep and place.
+"""Additional manipulation tasks: box_sweep, place, threeD_push,
+sweep_multiple.
 
   - BoxSweep (`/root/reference/src/ModelTranslator/BoxSweep.cpp:101-139` +
     `TaskConfigs/rigid_body_manipulation/box_sweep.yaml`): sweep a large
@@ -7,6 +8,14 @@
   - PlaceObject (`PlaceObject.cpp:113-151` + `place_single.yaml`): move a
     held cylinder to a goal pose keeping it upright; residuals = object 2-D
     goal distance, upright-orientation error, object speed, EE reach.
+  - ThreeDPushing (`ThreeDPushing.cpp` + `threeD_push.yaml`): push a box
+    that can topple; the goal body has all six DoFs active; cost = terminal
+    planar position (100), running planar velocity (0.1) and running x/y
+    angular position (1) per the yaml's per-DoF weights.
+  - SweepMultiple (`SweepMultiple.cpp` + `Sweep_multiple.yaml`): sweep a
+    scoop plus several objects toward a goal *line* x = 0.8; cost = terminal
+    x-distance per object (scoop 10, obstacles 1000) + panda joint-velocity
+    regularisers [0.1, 0.1, 0.1, 0.01, 0, 0.1, 0].
 
 Scenes are assembled around the hand-authored panda arm like pushing.py.
 """
@@ -177,4 +186,156 @@ def make_place(dtype=jnp.float64) -> Task:
         ),
         openloop_horizon=800,
         mpc_horizon=50,
+    )
+
+
+def make_threed_push(dtype=jnp.float64) -> Task:
+    """3-D pushing with toppling (ThreeDPushing.cpp + threeD_push.yaml):
+    the pushed body is a box whose angular DoFs are in the optimisation
+    state; running cost penalises planar tilt (angularPosCost [1,1,0]) so
+    the optimiser avoids toppling while pushing."""
+    objects = (
+        '<body name="goal" pos="0.5 0.1 0.051">\n'
+        '  <freejoint name="goal"/>\n'
+        '  <geom name="goal" type="box" size="0.03 0.03 0.05" mass="0.2" '
+        'contype="1" conaffinity="1" friction="0.4 0.005 0.0001" rgba="0 1 0 1"/>\n'
+        "</body>"
+    )
+    model = load_mjcf_string(_panda_scene(objects, timestep=0.004), dtype=dtype)
+    ee_site = model.site_names.index("ee")
+    goal_body = model.body_names.index("goal")
+    goal_j = model.joint_names.index("goal")
+    gd = model.jnt_dofadr[goal_j]
+
+    def residual_fn(m, data, targets):
+        goal_pos = data.xpos[goal_body]
+        r_pos = goal_pos[:2] - targets[:2]
+        gvel = data.qvel[gd : gd + 2]
+        # planar tilt: x/y components of the box z-axis (angularPosCost [1,1,0])
+        R = tm.quat_to_mat(data.xquat[goal_body])
+        tilt = R[:2, 2]
+        ee = data.site_xpos[ee_site]
+        r_reach = jnp.sqrt(jnp.sum((ee - goal_pos) ** 2) + 1e-12)
+        return jnp.concatenate([r_pos, gvel, tilt, r_reach[None]])
+
+    def complete_fn(m, data, targets):
+        dist = jnp.linalg.norm(data.xpos[goal_body][:2] - targets[:2])
+        return dist < 0.03, dist
+
+    names = list(model.joint_names[:7]) + [
+        "goal_lin_x", "goal_lin_y", "goal_lin_z",
+        "goal_ang_x", "goal_ang_y", "goal_ang_z",
+    ]
+    sv = state_vector_from_names(model, names, dtype=dtype)
+    ndof = sv.ndof
+    return Task(
+        name="threeD_push",
+        residual_names=("goal_x", "goal_y", "goal_vx", "goal_vy",
+                        "tilt_x", "tilt_y", "reach"),
+        residual_fn=residual_fn,
+        task_complete_fn=complete_fn,
+        model=model,
+        sv=sv,
+        residual_targets=jnp.array([0.7, 0.0], dtype=dtype),
+        # threeD_push.yaml: terminalLinearPosCost 100, linearVelCost 0.1,
+        # angularPosCost 1 running; small reach shaping as in pushing
+        weights=jnp.array([0.0, 0.0, 0.1, 0.1, 1.0, 1.0, 0.01], dtype=dtype),
+        weights_terminal=jnp.array(
+            [100.0, 100.0, 0.0, 0.0, 0.0, 0.0, 0.01], dtype=dtype
+        ),
+        qpos_start=jnp.asarray(model.qpos0, dtype=dtype)
+        .at[:7]
+        .set(jnp.array([0, -0.183, 0, -3.1, 0, 1.34, 0], dtype=dtype)),
+        qvel_start=jnp.zeros((model.nv,), dtype=dtype),
+        keypoint_cfg=KeypointConfig(
+            name="set_interval",
+            min_N=1,
+            max_N=20,
+            jerk_thresholds=jnp.concatenate(
+                [jnp.full((7,), 0.002, dtype), jnp.full((ndof - 7,), 0.0005, dtype)]
+            ),
+            accel_thresholds=jnp.full((ndof,), 10.0, dtype),
+            velocity_change_thresholds=jnp.full((ndof,), 0.1, dtype),
+        ),
+        openloop_horizon=1000,
+        mpc_horizon=100,
+    )
+
+
+_SWEEP_OBJECTS = [  # Sweep_multiple.yaml bodies: startLinearPos x, y
+    ("scoop", 0.45, 0.0),
+    ("obstacle_1", 0.5, 0.0),
+    ("obstacle_2", 0.55, 0.05),
+    ("obstacle_3", 0.65, 0.01),
+    ("obstacle_4", 0.5, 0.1),
+    ("obstacle_5", 0.55, -0.05),
+]
+
+
+def make_sweep_multiple(dtype=jnp.float64) -> Task:
+    """Multi-object sweeping (SweepMultiple.cpp + Sweep_multiple.yaml):
+    sweep the scoop and five cylinders past the goal line x = 0.8; cost is
+    terminal x-distance per object (scoop weight 10, obstacles 1000 each)
+    plus running panda joint-velocity regularisers."""
+    objs = []
+    for name, x, y in _SWEEP_OBJECTS:
+        color = "0 1 0 1" if name == "scoop" else "1 0 0 1"
+        objs.append(
+            f'<body name="{name}" pos="{x} {y} 0.032">\n'
+            f'  <freejoint name="{name}"/>\n'
+            f'  <geom name="{name}" type="cylinder" size="0.03 0.03" mass="0.1" '
+            f'contype="1" conaffinity="1" friction="0.3 0.005 0.0001" '
+            f'rgba="{color}"/>\n'
+            "</body>"
+        )
+    model = load_mjcf_string(
+        _panda_scene("\n".join(objs), timestep=0.006), dtype=dtype
+    )
+    bodies = [model.body_names.index(n) for n, _, _ in _SWEEP_OBJECTS]
+    nobj = len(bodies)
+
+    def residual_fn(m, data, targets):
+        # x-distance of each object to the goal line (targets[0] = 0.8)
+        r_obj = jnp.stack([data.xpos[b][0] - targets[0] for b in bodies])
+        return jnp.concatenate([r_obj, data.qvel[:7]])
+
+    def complete_fn(m, data, targets):
+        xs = jnp.stack([data.xpos[b][0] for b in bodies])
+        dist = jnp.sum(jnp.abs(xs - targets[0]))
+        return dist < 0.05 * nobj, dist
+
+    names = list(model.joint_names[:7])
+    for n, _, _ in _SWEEP_OBJECTS:
+        names += [f"{n}_lin_x", f"{n}_lin_y", f"{n}_lin_z"]
+    sv = state_vector_from_names(model, names, dtype=dtype)
+    ndof = sv.ndof
+    jvel_w = [0.1, 0.1, 0.1, 0.01, 0.0, 0.1, 0.0]
+    return Task(
+        name="sweep_multiple",
+        residual_names=tuple(f"{n}_x" for n, _, _ in _SWEEP_OBJECTS)
+        + tuple(f"joint_{i}_vel" for i in range(7)),
+        residual_fn=residual_fn,
+        task_complete_fn=complete_fn,
+        push_object_body="scoop",
+        model=model,
+        sv=sv,
+        residual_targets=jnp.array([0.8, 0.0], dtype=dtype),
+        weights=jnp.array([0.0] * nobj + jvel_w, dtype=dtype),
+        weights_terminal=jnp.array(
+            [10.0] + [1000.0] * (nobj - 1) + [0.0] * 7, dtype=dtype
+        ),
+        qpos_start=jnp.asarray(model.qpos0, dtype=dtype)
+        .at[:7]
+        .set(jnp.array([0, -0.183, 0, -3.1, 0, 1.34, 0], dtype=dtype)),
+        qvel_start=jnp.zeros((model.nv,), dtype=dtype),
+        keypoint_cfg=KeypointConfig(
+            name="set_interval",
+            min_N=1,
+            max_N=50,
+            jerk_thresholds=jnp.full((ndof,), 1e-15, dtype),
+            accel_thresholds=jnp.full((ndof,), 10.0, dtype),
+            velocity_change_thresholds=jnp.full((ndof,), 0.1, dtype),
+        ),
+        openloop_horizon=2000,
+        mpc_horizon=60,
     )

@@ -199,7 +199,7 @@ def ee_waypoint_path(task: Task, horizon: int, data: Data) -> jnp.ndarray:
     5/6 of the horizon."""
     model = task.model
     ee_site = model.site_names.index("ee")
-    goal_body = model.body_names.index("goal")
+    goal_body = model.body_names.index(task.push_object_body)
     ee_start = data.site_xpos[ee_site]
     goal_start = data.xpos[goal_body]
     target = task.residual_targets[:2]

@@ -41,9 +41,12 @@ def _joint_space_residuals(njoint: int, nctrl: int):
 
 
 def make_acrobot(dtype=jnp.float64) -> Task:
-    """Acrobot swing-up (reference Acrobot.cpp + TaskConfigs/toys/acrobot.yaml):
-    start [3.1415, 0.3], goal [0, 0]; weights 0/100 on joints, 0.001/1 on
-    velocities, 100/100 on torque; velocity_change keypoints minN=1 maxN=100."""
+    """Acrobot (reference Acrobot.cpp + TaskConfigs/toys/acrobot.yaml):
+    drive the chain to a goal pose; weights 0/100 on joints, 0.001/1 on
+    velocities, 100/100 on torque; velocity_change keypoints minN=1 maxN=100.
+    The canonical scene is TestTasks/acrobot/0.csv verbatim: start
+    [0.248245, 2.08504], goal the stable down pose [pi, 0] (goals are drawn
+    from {down, half-up, up}, `Acrobot.cpp:64-82`)."""
     model = load_mjcf(os.path.join(_MODELS_DIR, "acrobot.xml"), dtype=dtype)
     sv = full_state_vector(model, dtype=dtype)
     residual_fn, complete_fn = _joint_space_residuals(2, 1)
@@ -56,10 +59,12 @@ def make_acrobot(dtype=jnp.float64) -> Task:
         task_complete_fn=complete_fn,
         model=model,
         sv=sv,
-        residual_targets=jnp.array([0.0, 0.0, 0.0, 0.0, 0.0], dtype=dtype),
+        residual_targets=jnp.array(
+            [3.14152, 0.0, 0.0, 0.0, 0.0], dtype=dtype
+        ),
         weights=jnp.array([0.0, 0.0, 0.001, 0.001, 100.0], dtype=dtype),
         weights_terminal=jnp.array([100.0, 100.0, 1.0, 1.0, 100.0], dtype=dtype),
-        qpos_start=jnp.array([3.1415, 0.3], dtype=dtype),
+        qpos_start=jnp.array([0.248245, 2.08504], dtype=dtype),
         qvel_start=jnp.zeros((2,), dtype=dtype),
         keypoint_cfg=KeypointConfig(
             name="velocity_change",
