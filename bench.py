@@ -38,7 +38,13 @@ def main():
         keypoint_cfg=task.keypoint_cfg.replace(name="set_interval", min_N=1),
     )
     H = 500
-    cfg = ILQRConfig(max_iterations=10, min_iterations=10, deriv_mode="ad")
+    # ad_time: one jacfwd per keypoint time (primal shared across columns);
+    # deriv_chunk bounds per-chunk HBM at large batch (TPU tile padding
+    # inflates the small FK tensors ~28x)
+    cfg = ILQRConfig(
+        max_iterations=10, min_iterations=10, deriv_mode="ad_time",
+        deriv_chunk=64,
+    )
     fused = make_fused_optimise(task, cfg, H)
 
     qpos0 = task.qpos_start.astype(dtype)
@@ -58,7 +64,7 @@ def main():
     single_ms = (time.perf_counter() - t0) / n_rep * 1e3
 
     # ---- batched throughput (the campaign workload)
-    B = 128
+    B = 512
     batched = jax.jit(jax.vmap(fused))
     key = jax.random.PRNGKey(0)
     qpB = qpos0 + 0.3 * jax.random.normal(key, (B, task.model.nq), dtype)
@@ -80,7 +86,7 @@ def main():
             {
                 "metric": "acrobot_openloop_SI1_H500_solves_per_s",
                 "value": round(solves_per_s, 2),
-                "unit": "solves/s (batch 128, 10 iters each)",
+                "unit": "solves/s (batch 512, 10 iters each)",
                 "vs_baseline": round(solves_per_s / baseline_solves_per_s, 3),
                 "single_solve_ms": round(single_ms, 2),
                 "cost_reduction": round(reduction, 4),

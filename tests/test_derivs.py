@@ -103,3 +103,30 @@ def test_partial_jacobians_touch_only_keypoints():
     # untouched time/dof columns are zero
     A = np.asarray(A)
     assert np.all(A[1][:, [1, 3]] == 0)
+
+
+def test_ad_time_matches_ad_mode():
+    """Time-grouped jacfwd Jacobians (ad_time) must equal the per-job AD
+    columns exactly — same math, different batching unit."""
+    import numpy as np
+
+    from trajoptkp_tpu.config.loader import make_task
+    from trajoptkp_tpu.keypoints.methods import generate_keypoints
+    from trajoptkp_tpu.solver import ilqr as il
+
+    task = make_task("piston_block")
+    H = 30
+    U = 0.3 * jnp.ones((H, task.model.nu), task.model.dtype)
+    traj = il.rollout(task, task.qpos_start, task.qvel_start, U)
+    sv_idx = jnp.array(task.sv.order)
+    kp = task.keypoint_cfg.replace(name="set_interval", min_N=4)
+    mask = generate_keypoints(
+        kp, traj.qvel[:H][:, sv_idx], task.model.timestep
+    )
+    budget = il._deriv_budget(kp, H, task.sv.ndof, None)
+    out = {}
+    for mode in ("ad", "ad_time"):
+        A, B, *_ = il.compute_derivatives(task, traj, mask, budget, mode=mode)
+        out[mode] = (np.asarray(A), np.asarray(B))
+    np.testing.assert_allclose(out["ad"][0], out["ad_time"][0], atol=1e-12)
+    np.testing.assert_allclose(out["ad"][1], out["ad_time"][1], atol=1e-12)

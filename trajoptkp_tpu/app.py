@@ -40,7 +40,7 @@ def build_parser():
     p.add_argument("--maxIter", type=int, default=10)
     p.add_argument("--minIter", type=int, default=5)
     p.add_argument(
-        "--deriv_mode", default="auto", choices=["auto", "fd", "ad"],
+        "--deriv_mode", default="auto", choices=["auto", "fd", "ad", "ad_time"],
         help="auto: central FD (reference parity) in f64; exact autodiff "
         "columns on f32/TPU, where eps=1e-6 FD is below float precision",
     )
@@ -68,14 +68,19 @@ def main(argv=None):
     dtype = jnp.float32 if args.f32 else jnp.float64
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
+    task = make_task(args.task, dtype=dtype)
     if args.deriv_mode == "auto":
         # TPU executes f64 programs in f32 (no native double support):
         # central FD at eps=1e-6 drowns in rounding noise there, so use the
-        # exact forward-mode columns of the differentiable stepper instead.
+        # exact forward-mode columns of the differentiable stepper instead
+        # (time-grouped when dofs share keypoint times — set_interval).
         on_tpu = jax.default_backend() == "tpu"
-        args.deriv_mode = "ad" if (args.f32 or on_tpu) else "fd"
-
-    task = make_task(args.task, dtype=dtype)
+        if args.f32 or on_tpu:
+            si = task.keypoint_cfg is not None and \
+                task.keypoint_cfg.name == "set_interval"
+            args.deriv_mode = "ad_time" if si else "ad"
+        else:
+            args.deriv_mode = "fd"
     if args.task_config:
         task = apply_task_config(task, args.task_config)
     H = args.horizon or task.openloop_horizon

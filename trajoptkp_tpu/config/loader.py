@@ -73,6 +73,9 @@ def _populate_registry():
     _REGISTRY.setdefault("walker_walk", lambda **kw: make_walker(run=False, **kw))
     _REGISTRY.setdefault("walker_run", lambda **kw: make_walker(run=True, **kw))
     _REGISTRY.setdefault(
+        "walker_uneven", lambda **kw: make_walker(run=False, uneven=True, **kw)
+    )
+    _REGISTRY.setdefault(
         "pushing_no_clutter", lambda **kw: make_pushing(0, **kw)
     )
     _REGISTRY.setdefault(

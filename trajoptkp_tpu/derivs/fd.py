@@ -263,6 +263,109 @@ def _batched_ad_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
     return cols[0], cols[1], cols[2]
 
 
+def _time_ad_jacobian(model, sv, qpos, qvel, ctrl):
+    """Full A/B column block at ONE timestep via a single jacfwd.
+
+    One primal step evaluation shared across all 2*ndof+nu tangent
+    directions (jax.jacfwd CSEs the primal subgraph), versus the per-job
+    path which re-evaluates the primal for every (dof, direction) lane.
+    ~2-4x cheaper whenever most dofs share keypoint times (always true for
+    set_interval) — the dominant phase cost in the acrobot baseline.
+
+    Returns J: (2*ndof, 2*ndof + nu) = [dA_pos | dA_vel | dB].
+    """
+    nv, nu = model.nv, model.nu
+    n = sv.ndof
+    idx = jnp.array(sv.order)
+    dtype = qpos.dtype
+    qp_nom, qv_nom = step_state(model, qpos, qvel, ctrl)
+
+    def g(z):
+        dpos = jnp.zeros((nv,), dtype).at[idx].set(z[:n])
+        dvel = jnp.zeros((nv,), dtype).at[idx].set(z[n : 2 * n])
+        du = z[2 * n :]
+        qp, qv = step_state(
+            model,
+            integrate_pos(model, qpos, dpos, 1.0),
+            qvel + dvel,
+            ctrl + du,
+        )
+        return _tangent_out(model, sv, qp_nom, qv_nom, qp, qv, 1.0)
+
+    return jax.jacfwd(g)(jnp.zeros((2 * n + nu,), dtype))
+
+
+def time_keypoint_jacobians(
+    model: Model,
+    sv: StateVector,
+    qpos_traj: jnp.ndarray,
+    qvel_traj: jnp.ndarray,
+    ctrl_traj: jnp.ndarray,
+    mask: jnp.ndarray,        # (H, ndof) keypoint mask
+    time_budget: int,
+    chunk_size: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """AD Jacobians batched over keypoint TIMES (one jacfwd per time).
+
+    Column masking happens on scatter, so per-dof keypoint semantics are
+    preserved exactly; compute is per-time rather than per-(time, dof).
+    """
+    n = sv.ndof
+    H = qpos_traj.shape[0]
+    dtype = qpos_traj.dtype
+    any_t = jnp.any(mask, axis=1)
+    order = jnp.argsort(~any_t, stable=True)[:time_budget]
+    tvalid = any_t[order]
+
+    if chunk_size is None:
+        # each lane carries 2n+nu tangents of step intermediates
+        chunk_size = max(
+            8, default_chunk_size(model) // max(2 * n + model.nu, 1)
+        )
+    chunk = min(chunk_size, time_budget)
+    n_chunks = -(-time_budget // chunk)
+    pad = n_chunks * chunk - time_budget
+    ts = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+    vs = jnp.concatenate([tvalid, jnp.zeros((pad,), bool)])
+    ts = ts.reshape(n_chunks, chunk)
+    vs = vs.reshape(n_chunks, chunk)
+
+    col_mask = jnp.concatenate(
+        [mask.astype(dtype)] * 2
+        + [mask[:, : model.nu].astype(dtype)]
+        if model.nu > 0
+        else [mask.astype(dtype)] * 2,
+        axis=1,
+    )  # (H, 2n + nu): per-column keypoint validity
+
+    def chunk_body(carry, inp):
+        A_kp, B_kp, touched = carry
+        ct, cv = inp
+        J = jax.vmap(
+            lambda qp, qv_, u: _time_ad_jacobian(model, sv, qp, qv_, u)
+        )(qpos_traj[ct], qvel_traj[ct], ctrl_traj[ct])  # (C, 2n, 2n+nu)
+        m = col_mask[ct] * cv.astype(dtype)[:, None]     # (C, 2n+nu)
+        J = J * m[:, None, :]
+        A_kp = A_kp.at[ct].add(J[:, :, : 2 * n])
+        if model.nu > 0:
+            B_kp = B_kp.at[ct].add(J[:, :, 2 * n :])
+        touched = touched.at[ct].max(
+            mask[ct].astype(dtype) * cv.astype(dtype)[:, None]
+        )
+        return (A_kp, B_kp, touched), None
+
+    init = (
+        jnp.zeros((H, 2 * n, 2 * n), dtype=dtype),
+        jnp.zeros((H, 2 * n, model.nu), dtype=dtype),
+        jnp.zeros((H, n), dtype=dtype),
+    )
+    if n_chunks == 1:
+        (A_kp, B_kp, touched), _ = chunk_body(init, (ts[0], vs[0]))
+    else:
+        (A_kp, B_kp, touched), _ = jax.lax.scan(chunk_body, init, (ts, vs))
+    return A_kp, B_kp, touched
+
+
 def default_chunk_size(model: Model) -> int:
     """Jobs per derivative chunk, sized to the model's per-job footprint.
 

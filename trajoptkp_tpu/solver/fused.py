@@ -67,7 +67,7 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
         mask = generate_keypoints(kp_cfg, vel_sv, dt)
         A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
-            filtering=cfg.filtering,
+            filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
         )
         k, K, dJ, lamb, lambda_exit = backward_pass_lambda_loop(
             A, B, l_x, l_xx, l_u, l_uu, state.lamb, cfg

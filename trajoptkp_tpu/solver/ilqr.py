@@ -59,6 +59,10 @@ class ILQRConfig:
     max_lambda: float = struct.field(pytree_node=False, default=10.0)
     eps_converge: float = struct.field(pytree_node=False, default=0.02)
     deriv_budget: Optional[int] = struct.field(pytree_node=False, default=None)
+    # jobs per derivative chunk (None = adapt to model size); lower this when
+    # vmapping many solves so per-chunk intermediates fit HBM — TPU tiling
+    # pads the (nbody, 6, 6) FK tensors ~28x, so memory bites early
+    deriv_chunk: Optional[int] = struct.field(pytree_node=False, default=None)
     filtering: str = struct.field(pytree_node=False, default="none")
 
 
@@ -123,7 +127,7 @@ def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray) -> Trajectory:
 
 def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
                         mode: str = "fd", fd_eps: float = 1e-6,
-                        filtering: str = "none"):
+                        filtering: str = "none", chunk_size=None):
     """Keypoint A/B + interpolation + cost expansion along the trajectory.
 
     Returns (A, B, l_x, l_xx, l_u, l_uu, pct_derivs): A/B are (H, 2n, 2n) /
@@ -131,11 +135,23 @@ def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
     """
     model, sv = task.model, task.sv
     H = traj.ctrl.shape[0]
-    jobs = jobs_from_mask(mask, budget)
-    A_kp, B_kp, _ = keypoint_jacobians(
-        model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, jobs,
-        eps=fd_eps, mode=mode,
-    )
+    if mode == "ad_time":
+        # time-grouped exact Jacobians: one jacfwd per keypoint time (shared
+        # primal across all columns) — fastest when dofs share keypoint
+        # times, e.g. every set_interval schedule
+        from ..derivs.fd import time_keypoint_jacobians
+
+        A_kp, B_kp, _ = time_keypoint_jacobians(
+            model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, mask,
+            time_budget=-(-budget // max(sv.ndof, 1)),
+            chunk_size=chunk_size,
+        )
+    else:
+        jobs = jobs_from_mask(mask, budget)
+        A_kp, B_kp, _ = keypoint_jacobians(
+            model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, jobs,
+            eps=fd_eps, mode=mode, chunk_size=chunk_size,
+        )
     A, B = interpolate_derivatives(A_kp, B_kp, mask, model.nu)
     A = filter_dynamics(A, filtering)
 
@@ -363,7 +379,7 @@ def make_phase_fns(task: Task, cfg: ILQRConfig, H: int):
     def derivs_fn(traj: Trajectory, mask):
         return compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
-            filtering=cfg.filtering,
+            filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
         )
 
     @jax.jit

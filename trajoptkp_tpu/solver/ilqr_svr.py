@@ -45,6 +45,9 @@ class SVRConfig:
     num_dofs_readd: int = struct.field(pytree_node=False, default=10)
     K_matrix_threshold: float = struct.field(pytree_node=False, default=1.0)
     sampling_k_interval: int = struct.field(pytree_node=False, default=1)
+    # rank dof importance by SVD right-vectors of K[t] instead of |K| column
+    # sums (the reference's eigen_vector_method, `iLQR_SVR.cpp:901-932`)
+    eigen_vector_method: bool = struct.field(pytree_node=False, default=False)
 
 
 class SVRState(NamedTuple):
@@ -92,6 +95,21 @@ def dof_importances(K: jnp.ndarray, active: jnp.ndarray, interval: int):
     return (sums[:n] + sums[n:]) / H
 
 
+def dof_importances_svd(K: jnp.ndarray, active: jnp.ndarray, interval: int):
+    """SVD ranking (LeastImportantDofs eigen-vector mode,
+    `iLQR_SVR.cpp:901-932`): per sampled t, importance_j +=
+    sum_{m<3} |V[j, m] s_m| + |V[j+n, m] s_m| with K[t] = U S V^T,
+    normalised by horizon.  Batched jnp SVD over the sampled timesteps."""
+    H = K.shape[0]
+    n = active.shape[0]
+    Ks = K[::interval]  # (H', nu, 2n)
+    m_top = min(3, Ks.shape[1])
+    _, s, vh = jnp.linalg.svd(Ks, full_matrices=False)  # s (H', r), vh (H', r, 2n)
+    contrib = jnp.abs(vh[:, :m_top, :] * s[:, :m_top, None])  # (H', m, 2n)
+    sums = jnp.sum(contrib, axis=(0, 1))  # (2n,)
+    return (sums[:n] + sums[n:]) / H
+
+
 def make_svr_optimise(
     task: Task, cfg: ILQRConfig, svr: SVRConfig, H: int,
     protected_mask: jnp.ndarray = None,
@@ -129,7 +147,7 @@ def make_svr_optimise(
         mask = generate_keypoints(kp_cfg, vel_sv, dt) & (active > 0)[None, :]
         A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
-            filtering=cfg.filtering,
+            filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
         )
         A, B, l_x, l_xx, l_u, l_uu = _mask_derivs(
             A, B, l_x, l_xx, l_u, l_uu, active
@@ -141,7 +159,10 @@ def make_svr_optimise(
         )
 
         # --- 4. importance ranking -> removal candidates
-        imp = dof_importances(K, active, svr.sampling_k_interval)
+        rank_fn = (
+            dof_importances_svd if svr.eigen_vector_method else dof_importances
+        )
+        imp = rank_fn(K, active, svr.sampling_k_interval)
         removable = (
             (imp < svr.K_matrix_threshold)
             & (active > 0)

@@ -12,7 +12,7 @@ import os
 
 import jax.numpy as jnp
 
-from ..dynamics.mjcf import load_mjcf
+from ..dynamics.mjcf import load_mjcf, load_mjcf_string
 from ..keypoints.methods import KeypointConfig
 from ..state.statevector import full_state_vector
 from .base import Task
@@ -21,6 +21,28 @@ _MODELS_DIR = os.path.join(os.path.dirname(__file__), "..", "models")
 
 _NDOF = 9
 _NU = 6
+
+
+def _uneven_terrain_xml(n_tiles: int = 24, seed: int = 3) -> str:
+    """Static bump field in the walking direction (the reference's
+    walker_uneven.xml terrain, `walk_uneven.yaml:1-2`; heightfield geometry
+    realised here as a deterministic strip of shallow boxes — same collision
+    behaviour through the plane/box narrow phase, no new primitive)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    tiles = []
+    x = 0.8
+    for i in range(n_tiles):
+        w = rng.uniform(0.25, 0.5)
+        h = rng.uniform(0.01, 0.05)
+        tiles.append(
+            f'<geom name="bump_{i}" type="box" pos="{x + w:.3f} 0 {h / 2:.3f}"'
+            f' size="{w:.3f} 1.0 {h / 2:.3f}"'
+            ' friction="0.9 0.005 0.0001" rgba="0.5 0.4 0.3 1"/>'
+        )
+        x += 2 * w + rng.uniform(0.1, 0.4)
+    return "\n    ".join(tiles)
 
 
 def _residual_fn(model, data, targets):
@@ -39,12 +61,27 @@ def _complete_fn(model, data, targets):
     return jnp.zeros((), bool), jnp.zeros((), data.qpos.dtype)
 
 
-def make_walker(run: bool = False, dtype=jnp.float64) -> Task:
-    model = load_mjcf(os.path.join(_MODELS_DIR, "walker.xml"), dtype=dtype)
+def make_walker(run: bool = False, uneven: bool = False,
+                dtype=jnp.float64) -> Task:
+    xml_path = os.path.join(_MODELS_DIR, "walker.xml")
+    if uneven:
+        xml = open(xml_path).read()
+        xml = xml.replace(
+            '<geom name="floor" type="plane" size="50 2 0.1" '
+            'friction="0.9 0.005 0.0001"/>',
+            '<geom name="floor" type="plane" size="50 2 0.1" '
+            'friction="0.9 0.005 0.0001"/>\n    ' + _uneven_terrain_xml(),
+        )
+        model = load_mjcf_string(xml, dtype=dtype)
+    else:
+        model = load_mjcf(xml_path, dtype=dtype)
     sv = full_state_vector(model, dtype=dtype)
     target_vel = 1.1 if run else 0.5
+    name = "walker_run" if run else "walker_walk"
+    if uneven:
+        name = "walker_uneven"
     return Task(
-        name="walker_run" if run else "walker_walk",
+        name=name,
         residual_names=(
             "body_height", "body_orientation", "body_velocity",
             *(f"body_controls_{i}" for i in range(_NU)),
