@@ -241,3 +241,36 @@ def test_grad_descent_improves(task):
         task, GradDescentConfig(max_iterations=5), H))
     res = opt(task.qpos_start, task.qvel_start, jnp.zeros((H, 1)))
     assert float(res.final_cost) < float(res.initial_cost)
+
+
+def test_svr_svd_ranking_mode(task):
+    """eigen_vector_method (SVD importance, iLQR_SVR.cpp:901-932): runs,
+    reduces cost, and with a huge threshold removes unprotected dofs."""
+    H = 60
+    cfg = ILQRConfig(max_iterations=2, min_iterations=2, deriv_mode="ad")
+    svr = SVRConfig(num_dofs_readd=0, K_matrix_threshold=1e12,
+                    eigen_vector_method=True)
+    opt = make_svr_optimise(task, cfg, svr, H)
+    res = opt(
+        task.qpos_start, task.qvel_start, jnp.zeros((H, 1)),
+        jax.random.PRNGKey(1),
+    )
+    active = np.asarray(res.active)
+    assert active[0] == 1.0
+    assert active[1] == 0.0
+    assert bool(jnp.all(jnp.isfinite(res.traj.qpos)))
+
+
+def test_svd_importance_agrees_on_rank1():
+    """For a rank-1 K the SVD ranking equals the |K| column-sum ranking up to
+    scale, so both must order dofs identically."""
+    from trajoptkp_tpu.solver.ilqr_svr import (dof_importances,
+                                               dof_importances_svd)
+
+    rng = np.random.default_rng(0)
+    n, nu, H = 4, 1, 12
+    K = jnp.asarray(rng.standard_normal((H, nu, 2 * n)))
+    active = jnp.ones((n,))
+    a = np.asarray(dof_importances(K, active, 1))
+    b = np.asarray(dof_importances_svd(K, active, 1))
+    assert list(np.argsort(a)) == list(np.argsort(b))

@@ -16,7 +16,8 @@ _SLOW_SOFT = {"push_soft", "push_soft_rigid"}
 
 @pytest.mark.parametrize("name", [t for t in ALL_TASKS if t not in _SLOW_SOFT])
 def test_task_builds_and_rolls_out(name):
-    if name == "hopper":
+    if name in ("hopper", "box_push_toppling"):
+        # reference stubs (src/main.cpp:783-786, :799-802)
         with pytest.raises(NotImplementedError):
             make_task(name)
         return

@@ -133,6 +133,24 @@ def main(argv=None):
         _async_mpc_campaign(task, cfg, args)
     elif mode == "Generate_dynamics_data":
         _dynamics_data(task, cfg, args)
+    elif mode == "Analyse_toy_contact":
+        from .bench.campaigns import analyse_toy_contact
+
+        rows = analyse_toy_contact(
+            task, args.horizon or 200,
+            out_dir=os.path.join(args.out_dir, "contact_analysis"),
+        )
+        print(json.dumps({"rows": len(rows), "first": rows[0],
+                          "last": rows[-1]}))
+    elif mode == "Analyse_toy_contact_keypoints":
+        from .bench.campaigns import analyse_toy_contact_keypoints
+
+        rows = analyse_toy_contact_keypoints(
+            task, args.horizon or 200,
+            out_dir=os.path.join(args.out_dir, "contact_keypoints"),
+        )
+        print(json.dumps({"rows": len(rows), "first": rows[0],
+                          "last": rows[-1]}))
     else:
         raise SystemExit(f"unknown runMode: {mode}")
 

@@ -162,3 +162,213 @@ def dump_derivatives(
     write("V_trajectory", traj.qvel[:H])
     write("U_trajectory", traj.ctrl)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# contact-derivative analysis (AnalyseToyContact[Keypoints],
+# GenTestingData.cpp:961-1327)
+# ---------------------------------------------------------------------------
+
+
+def pair_contact_flags(task, traj, geom1: str, geom2: str) -> np.ndarray:
+    """(H,) bool: narrow-phase penetration between two named geoms per
+    timestep (CheckPairForCollisions analogue, MuJoCoHelper.cpp:589-693)."""
+    from ..dynamics.collision import pair_contacts
+    from ..dynamics.fk import forward_kinematics
+    from ..dynamics.model import Data
+
+    model = task.model
+    g1 = model.geom_names.index(geom1)
+    g2 = model.geom_names.index(geom2)
+    # honour the dispatcher's pair ordering (plane first)
+    if (g2, g1) in model.contact_pairs:
+        g1, g2 = g2, g1
+    t1, t2 = model.geom_type[g1], model.geom_type[g2]
+
+    def one(qpos, qvel):
+        d = forward_kinematics(
+            model,
+            Data(qpos=qpos, qvel=qvel,
+                 ctrl=jnp.zeros((model.nu,), qpos.dtype),
+                 time=jnp.zeros((), qpos.dtype)),
+        )
+        dd, _, _ = pair_contacts(
+            t1, t2,
+            d.geom_xpos[g1], d.geom_xmat[g1], model.geom_size[g1],
+            d.geom_xpos[g2], d.geom_xmat[g2], model.geom_size[g2],
+        )
+        return jnp.any(dd < 0)
+
+    H = traj.ctrl.shape[0]
+    flags = jax.vmap(one)(traj.qpos[:H], traj.qvel[:H])
+    return np.asarray(flags)
+
+
+def smooth_contact_mask(mask: jnp.ndarray, contact: np.ndarray,
+                        radius: int) -> jnp.ndarray:
+    """Clear keypoints within +-radius of the first contact-making timestep
+    (SmoothDerivativesAtContact, Optimiser.cpp:52-78) so interpolation
+    bridges the contact discontinuity."""
+    idx = np.flatnonzero(contact)
+    if len(idx) == 0:
+        return mask
+    t0 = int(idx[0])
+    H = mask.shape[0]
+    lo, hi = max(t0 - radius, 0), min(t0 + radius, H - 1)
+    window = (jnp.arange(H) >= lo) & (jnp.arange(H) < hi)
+    return mask & ~window[:, None]
+
+
+def analyse_toy_contact(
+    task,
+    horizon: int,
+    cfg: ILQRConfig = None,
+    smoothing_range=range(1, 100, 5),
+    init_ctrl: float = 6.0,
+    out_dir: str = "TestingData/contact_analysis",
+    dump_matrices: bool = False,
+):
+    """Contact-smoothing sweep on the piston-block toy
+    (AnalyseToyContact, GenTestingData.cpp:961-1100): for each smoothing
+    radius, drop the keypoints around the contact event, run ONE iLQR
+    iteration, and record the achieved cost vs the exact (radius-0) run.
+
+    Returns a list of dict rows; also writes summary.csv (+ optional A/B/X/U
+    dumps per radius, as the reference's SaveTrajecInformation does).
+    """
+    from ..keypoints.methods import generate_keypoints
+    from ..solver import ilqr as il
+
+    cfg = cfg or ILQRConfig(max_iterations=1, min_iterations=1)
+    model, sv = task.model, task.sv
+    dtype = model.dtype
+    U0 = jnp.full((horizon, model.nu), init_ctrl, dtype)
+    traj = il.rollout(task, task.qpos_start, task.qvel_start, U0)
+    old_cost = float(traj.costs.sum())
+    contact = pair_contact_flags(task, traj, "piston", "goal")
+
+    budget = il._deriv_budget(task.keypoint_cfg, horizon, sv.ndof, None)
+    sv_idx = jnp.array(sv.order)
+    base_mask = generate_keypoints(
+        task.keypoint_cfg, traj.qvel[:horizon][:, sv_idx], model.timestep
+    )
+    alphas = il.default_alphas(cfg.num_parallel_rollouts, dtype)
+
+    @jax.jit
+    def one_iter(mask):
+        A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
+            task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
+        )
+        k, K, dJ, lamb, _ = il.backward_pass_lambda_loop(
+            A, B, l_x, l_xx, l_u, l_uu,
+            jnp.asarray(cfg.lambda_init, dtype), cfg,
+        )
+        _, new_cost, accepted, best_alpha = il.forward_pass(
+            task, traj, k, K, alphas, jnp.asarray(old_cost, dtype)
+        )
+        return A, B, new_cost, accepted, best_alpha, pct
+
+    rows = []
+    os.makedirs(out_dir, exist_ok=True)
+    for s in [0] + list(smoothing_range):
+        mask = smooth_contact_mask(base_mask, contact, s) if s else base_mask
+        A, B, new_cost, accepted, best_alpha, pct = one_iter(mask)
+        rows.append({
+            "smoothing": s,
+            "old_cost": old_cost,
+            "new_cost": float(new_cost),
+            "accepted": bool(accepted),
+            "best_alpha": float(best_alpha),
+            "percent_derivs": float(np.mean(np.asarray(pct))),
+            "contact_step": int(np.flatnonzero(contact)[0])
+            if contact.any() else -1,
+        })
+        if dump_matrices:
+            sub = os.path.join(out_dir, f"smoothing_contact_{s}")
+            os.makedirs(sub, exist_ok=True)
+            for nm, arr in (("A_matrices", A), ("B_matrices", B)):
+                a = np.asarray(arr).reshape(arr.shape[0], -1)
+                with open(os.path.join(sub, f"{nm}.csv"), "w") as f:
+                    for r_ in a:
+                        f.write(",".join(f"{v:.10g}" for v in r_) + "\n")
+    with open(os.path.join(out_dir, "summary.csv"), "w") as f:
+        f.write("smoothing,old_cost,new_cost,accepted,best_alpha,"
+                "percent_derivs,contact_step\n")
+        for r_ in rows:
+            f.write(",".join(str(r_[c]) for c in (
+                "smoothing", "old_cost", "new_cost", "accepted",
+                "best_alpha", "percent_derivs", "contact_step")) + "\n")
+    return rows
+
+
+def analyse_toy_contact_keypoints(
+    task,
+    horizon: int,
+    cfg: ILQRConfig = None,
+    min_N_range=(1, 2, 5, 10, 20),
+    init_ctrl: float = 6.0,
+    out_dir: str = "TestingData/contact_keypoints",
+):
+    """Keypoint-interval sweep around contact (AnalyseToyContactKeypoints,
+    GenTestingData.cpp:1100-1327): one iLQR iteration per SI_n schedule,
+    recording cost outcome + contact location.  Returns rows; writes
+    summary.csv."""
+    from ..keypoints.methods import generate_keypoints
+    from ..solver import ilqr as il
+
+    cfg = cfg or ILQRConfig(max_iterations=1, min_iterations=1)
+    model, sv = task.model, task.sv
+    dtype = model.dtype
+    U0 = jnp.full((horizon, model.nu), init_ctrl, dtype)
+    traj = il.rollout(task, task.qpos_start, task.qvel_start, U0)
+    old_cost = float(traj.costs.sum())
+    contact = pair_contact_flags(task, traj, "piston", "goal")
+    sv_idx = jnp.array(sv.order)
+    alphas = il.default_alphas(cfg.num_parallel_rollouts, dtype)
+
+    rows = []
+    os.makedirs(out_dir, exist_ok=True)
+    budget_all = il._deriv_budget(
+        task.keypoint_cfg.replace(name="set_interval", min_N=1, max_N=1),
+        horizon, sv.ndof, None,
+    )
+
+    @jax.jit
+    def one_iter(mask):
+        A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
+            task, traj, mask, budget_all, mode=cfg.deriv_mode,
+            fd_eps=cfg.fd_eps,
+        )
+        k, K, dJ, lamb, _ = il.backward_pass_lambda_loop(
+            A, B, l_x, l_xx, l_u, l_uu,
+            jnp.asarray(cfg.lambda_init, dtype), cfg,
+        )
+        _, new_cost, accepted, best_alpha = il.forward_pass(
+            task, traj, k, K, alphas, jnp.asarray(old_cost, dtype)
+        )
+        return new_cost, accepted, best_alpha, pct
+
+    for n in min_N_range:
+        kp = task.keypoint_cfg.replace(name="set_interval", min_N=n, max_N=n)
+        mask = generate_keypoints(
+            kp, traj.qvel[:horizon][:, sv_idx], model.timestep
+        )
+        new_cost, accepted, best_alpha, pct = one_iter(mask)
+        rows.append({
+            "min_N": n,
+            "old_cost": old_cost,
+            "new_cost": float(new_cost),
+            "accepted": bool(accepted),
+            "best_alpha": float(best_alpha),
+            "percent_derivs": float(np.mean(np.asarray(pct))),
+            "contact_step": int(np.flatnonzero(contact)[0])
+            if contact.any() else -1,
+        })
+    with open(os.path.join(out_dir, "summary.csv"), "w") as f:
+        f.write("min_N,old_cost,new_cost,accepted,best_alpha,"
+                "percent_derivs,contact_step\n")
+        for r_ in rows:
+            f.write(",".join(str(r_[c]) for c in (
+                "min_N", "old_cost", "new_cost", "accepted",
+                "best_alpha", "percent_derivs", "contact_step")) + "\n")
+    return rows

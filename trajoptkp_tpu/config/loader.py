@@ -84,6 +84,19 @@ def _populate_registry():
     _REGISTRY.setdefault(
         "pushing_moderate_clutter", lambda **kw: make_pushing(7, **kw)
     )
+    _REGISTRY.setdefault(
+        "pushing_moderate_clutter_constrained",
+        lambda **kw: make_pushing("constrained", **kw),
+    )
+
+    def _box_push_toppling(**kw):
+        raise NotImplementedError(
+            "box_push_toppling is not implemented (matches the reference "
+            "stub, src/main.cpp:783-786); see threeD_push for the toppling "
+            "box task"
+        )
+
+    _REGISTRY.setdefault("box_push_toppling", _box_push_toppling)
     _REGISTRY.setdefault("humanoid", make_humanoid)
     _REGISTRY.setdefault("box_sweep", make_box_sweep)
     _REGISTRY.setdefault("place", make_place)

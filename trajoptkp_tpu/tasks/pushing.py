@@ -47,11 +47,16 @@ _OBSTACLE_LAYOUTS = {
         (0.55, 0.12), (0.62, -0.05), (0.48, -0.12), (0.58, 0.20),
         (0.70, 0.08), (0.42, 0.15), (0.65, -0.18),
     ],
+    # constrained corridor (twoD_push_constrained_clutter.yaml bodies:
+    # obstacles at (0.48, 0.3), (0.6, 0.4), (0.7, 0.3))
+    "constrained": [(0.48, 0.3), (0.6, 0.4), (0.7, 0.3)],
 }
 
 
-def build_push_scene_xml(num_obstacles: int) -> str:
-    """Assemble the pushing scene: panda arm + pusher rod + table + objects."""
+def build_push_scene_xml(num_obstacles, goal_start=(0.5, 0.1)) -> str:
+    """Assemble the pushing scene: panda arm + pusher rod + table + objects.
+
+    `num_obstacles` is a key of _OBSTACLE_LAYOUTS (0/3/7 or "constrained")."""
     panda = open(os.path.join(_MODELS_DIR, "panda.xml")).read()
     arm_body = panda[panda.index('<body name="panda_link0"'):panda.index("</worldbody>")]
     actuators = panda[panda.index("<actuator>"):panda.index("</actuator>") + len("</actuator>")]
@@ -63,7 +68,7 @@ def build_push_scene_xml(num_obstacles: int) -> str:
         'mass="0.05" contype="1" conaffinity="1" friction="0.6 0.005 0.0001"/>',
     )
     objs = [
-        '<body name="goal" pos="0.5 0.1 0.032">\n'
+        f'<body name="goal" pos="{goal_start[0]} {goal_start[1]} 0.032">\n'
         '  <freejoint name="goal"/>\n'
         '  <geom name="goal" type="cylinder" size="0.05 0.03" mass="0.1" '
         'contype="1" conaffinity="1" friction="0.3 0.005 0.0001" rgba="0 1 0 1"/>\n'
@@ -98,9 +103,17 @@ def build_push_scene_xml(num_obstacles: int) -> str:
 """
 
 
-def make_pushing(num_obstacles: int = 0, dtype=jnp.float64) -> Task:
-    xml = build_push_scene_xml(num_obstacles)
+def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
+    """num_obstacles: 0 / 3 / 7 or "constrained" (TwoDPushing clutter levels
+    noClutter / lowClutter / heavyClutter / constrainedClutter,
+    `src/main.cpp:760-778`)."""
+    constrained = num_obstacles == "constrained"
+    layout = _OBSTACLE_LAYOUTS[num_obstacles]
+    goal_start = (0.4, 0.2) if constrained else (0.5, 0.1)
+    target_xy = (0.6, 0.4) if constrained else (0.7, -0.1)
+    xml = build_push_scene_xml(num_obstacles, goal_start=goal_start)
     model = load_mjcf_string(xml, dtype=dtype)
+    num_obstacles = len(layout)
 
     ee_site = model.site_names.index("ee")
     goal_body = model.body_names.index("goal")
@@ -113,9 +126,7 @@ def make_pushing(num_obstacles: int = 0, dtype=jnp.float64) -> Task:
     joint5_dadr = 5  # panda joint indices 0..6 lead the dof vector
 
     obstacle_starts = jnp.asarray(
-        np.array(_OBSTACLE_LAYOUTS[num_obstacles], dtype=np.float64).reshape(
-            num_obstacles, 2
-        ),
+        np.array(layout, dtype=np.float64).reshape(num_obstacles, 2),
         dtype=dtype,
     )
 
@@ -151,7 +162,7 @@ def make_pushing(num_obstacles: int = 0, dtype=jnp.float64) -> Task:
 
     ndof = sv.ndof
     nres = 2 + num_obstacles + 2
-    level = {0: "ncl", 3: "lcl", 7: "mcl"}[num_obstacles]
+    level = "ccl" if constrained else {0: "ncl", 3: "lcl", 7: "mcl"}[num_obstacles]
     w = [0.0, 0.2] + [0.1] * num_obstacles + [0.1, 0.01]
     wt = [1000.0, 10.0] + [10.0] * num_obstacles + [0.1, 0.01]
     return Task(
@@ -165,7 +176,7 @@ def make_pushing(num_obstacles: int = 0, dtype=jnp.float64) -> Task:
         task_complete_fn=complete_fn,
         model=model,
         sv=sv,
-        residual_targets=jnp.array([0.7, -0.1], dtype=dtype),
+        residual_targets=jnp.array(list(target_xy), dtype=dtype),
         weights=jnp.array(w, dtype=dtype),
         weights_terminal=jnp.array(wt, dtype=dtype),
         qpos_start=jnp.asarray(model.qpos0, dtype=dtype)
