@@ -75,3 +75,40 @@ def test_2d_mesh_shapes():
     mesh = make_mesh(jax.devices(), scene_axis=2)
     assert mesh.devices.shape == (2, 4)
     assert mesh.axis_names == ("scene", "job")
+
+
+def test_phase_batched_matches_fused():
+    """solver/batched.py (the XLA-crash workaround path) must produce the
+    same optimisation outcome as the fused single-dispatch solver when early
+    exit is disabled (min_iterations == max_iterations)."""
+    import numpy as np
+
+    from trajoptkp_tpu.solver.batched import make_batched_phase_optimise
+    from trajoptkp_tpu.solver.fused import make_fused_optimise
+    from trajoptkp_tpu.solver.ilqr import ILQRConfig
+    from trajoptkp_tpu.tasks.toys import make_acrobot
+
+    task = make_acrobot()
+    H, B = 100, 3
+    cfg = ILQRConfig(max_iterations=3, min_iterations=3, deriv_mode="ad")
+    key = jax.random.PRNGKey(0)
+    qpB = task.qpos_start + 0.2 * jax.random.normal(key, (B, task.model.nq))
+    qvB = jnp.zeros((B, task.model.nv))
+    UB = jnp.zeros((B, H, task.model.nu))
+    tgB = jnp.tile(task.residual_targets, (B, 1))
+
+    run = make_batched_phase_optimise(task, cfg, H)
+    res_b = run(qpB, qvB, UB, tgB)
+
+    fused = make_fused_optimise(task, cfg, H)
+    fused_b = jax.jit(jax.vmap(fused))
+    res_f = fused_b(qpB, qvB, UB)
+
+    np.testing.assert_allclose(
+        np.asarray(res_b.final_cost), np.asarray(res_f.final_cost),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.initial_cost), np.asarray(res_f.initial_cost),
+        rtol=1e-9,
+    )

@@ -80,6 +80,7 @@ def openloop_campaign(
     out_dir: Optional[str] = None,
     noise_key: Optional[jax.Array] = None,
     controls_noise: float = 0.0,
+    batch_mode: str = "fused",
 ) -> List[TrialRow]:
     """Run an N-scene open-loop campaign (GenDataOpenloopOptimisation).
 
@@ -88,6 +89,10 @@ def openloop_campaign(
     number for a batched device, and the one solves/s comparisons use).
     Optional initial-control noise mirrors `controls_noise` in the reference
     summary.yaml campaigns.
+
+    batch_mode: "fused" = vmap the whole fused solve (fastest); "phases" =
+    vmap each phase in a host loop (sidesteps an XLA TPU compiler crash on
+    panda-scale fused programs — see solver/batched.py).
     """
     cfg = cfg or ILQRConfig()
     N, H = U_init.shape[0], U_init.shape[1]
@@ -100,25 +105,29 @@ def openloop_campaign(
             * jax.random.normal(noise_key, U_init.shape)
         )
 
-    fused = make_fused_optimise(task, cfg, H)
-
-    def one(qpos0, qvel0, U0, targets):
-        t = task.replace(residual_targets=targets)
-        return make_fused_optimise(t, cfg, H)(qpos0, qvel0, U0)
-
-    batched = jax.jit(jax.vmap(one))
     args = (
         jnp.asarray(scenes_qpos, dtype),
         jnp.asarray(scenes_qvel, dtype),
         jnp.asarray(U_init, dtype),
         jnp.asarray(scenes_targets, dtype),
     )
+    if batch_mode == "phases":
+        from ..solver.batched import make_batched_phase_optimise
+
+        run = make_batched_phase_optimise(task, cfg, H)
+        batched = lambda qp, qv, U, tg: run(qp, qv, U, tg)
+    else:
+        def one(qpos0, qvel0, U0, targets):
+            t = task.replace(residual_targets=targets)
+            return make_fused_optimise(t, cfg, H)(qpos0, qvel0, U0)
+
+        batched = jax.jit(jax.vmap(one))
     # compile
     res = batched(*args)
-    jax.block_until_ready(res)
+    jax.block_until_ready(res.final_cost)
     t0 = time.perf_counter()
     res = batched(*args)
-    jax.block_until_ready(res)
+    jax.block_until_ready(res.final_cost)
     batch_ms = (time.perf_counter() - t0) * 1e3
     per_solve_ms = batch_ms / N
 
