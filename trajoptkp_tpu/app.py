@@ -100,17 +100,36 @@ def main(argv=None):
         }))
     elif mode == "Optimise_once":
         U = _init_controls(task, H)
-        traj, stats = optimise(
-            task, task.qpos_start, task.qvel_start, U, cfg, verbose=True
-        )
-        print(json.dumps({
-            "task": task.name, "horizon": H,
-            "initial_cost": stats.initial_cost,
-            "final_cost": stats.final_cost,
-            "cost_reduction": stats.cost_reduction,
-            "iterations": stats.num_iterations,
-            "opt_time_ms": stats.opt_time_ms,
-        }))
+        if args.optimiser == "iLQR_SVR":
+            from .solver.ilqr_svr import SVRConfig, make_svr_optimise
+
+            run = jax.jit(make_svr_optimise(task, cfg, SVRConfig(), H))
+            t0 = time.perf_counter()
+            res = run(task.qpos_start, task.qvel_start, U,
+                      jax.random.PRNGKey(args.seed))
+            jax.block_until_ready(res)
+            print(json.dumps({
+                "task": task.name, "horizon": H, "optimiser": "iLQR_SVR",
+                "initial_cost": float(res.initial_cost),
+                "final_cost": float(res.final_cost),
+                "cost_reduction": float(res.cost_reduction),
+                "iterations": int(res.num_iterations),
+                "avg_num_dofs": float(res.avg_dofs),
+                "final_active_dofs": int(jnp.sum(res.active)),
+                "opt_time_ms": (time.perf_counter() - t0) * 1e3,
+            }))
+        else:
+            traj, stats = optimise(
+                task, task.qpos_start, task.qvel_start, U, cfg, verbose=True
+            )
+            print(json.dumps({
+                "task": task.name, "horizon": H,
+                "initial_cost": stats.initial_cost,
+                "final_cost": stats.final_cost,
+                "cost_reduction": stats.cost_reduction,
+                "iterations": stats.num_iterations,
+                "opt_time_ms": stats.opt_time_ms,
+            }))
     elif mode == "MPC_until_completion":
         from .mpc import AsyncMPC
 
@@ -188,28 +207,56 @@ def _generate_scenes(task, args):
 def _openloop_campaign(task, cfg, H, args):
     from .bench import openloop_campaign
 
-    rng = np.random.default_rng(args.seed)
     N = args.num_scenes
     nq, nv, nu = task.model.nq, task.model.nv, task.model.nu
-    qpos = np.tile(np.asarray(task.qpos_start), (N, 1))
-    n_rj = min(nu, nq)
-    qpos[:, :n_rj] += 0.2 * rng.standard_normal((N, n_rj))
-    qvel = np.zeros((N, nv))
-    targets = np.tile(np.asarray(task.residual_targets), (N, 1))
-    U = np.zeros((N, H, nu))
+    dtype = task.model.dtype
+    if args.scenes_dir:
+        # reference TestTasks scenes, verbatim (GenDataOpenloopOptimisation
+        # loads TestTasks/<task>/<i>.csv per trial, GenTestingData.cpp:169-176)
+        from .config.loader import load_scenes_for_task
+
+        qpos, qvel, targets = load_scenes_for_task(task, args.scenes_dir, N)
+        N = qpos.shape[0]
+        controls_noise = 0.0
+    else:
+        rng = np.random.default_rng(args.seed)
+        qpos = np.tile(np.asarray(task.qpos_start), (N, 1))
+        n_rj = min(nu, nq)
+        qpos[:, :n_rj] += 0.2 * rng.standard_normal((N, n_rj))
+        qvel = np.zeros((N, nv))
+        targets = np.tile(np.asarray(task.residual_targets), (N, 1))
+        controls_noise = 0.5
+    U = _batch_init_controls(task, H, qpos, qvel, targets)
     stamp = time.strftime("%Y%m%d_%H%M")
     out_dir = os.path.join(
         args.out_dir, f"{task.name}_openloop_{stamp}"
     )
     rows = openloop_campaign(
         task, qpos, qvel, targets, U, cfg, out_dir=out_dir,
-        controls_noise=0.5,
+        controls_noise=controls_noise, optimiser=args.optimiser,
     )
     print(json.dumps({
         "campaign": out_dir, "trials": len(rows),
         "mean_cost_reduction": float(np.mean([r.cost_reduction for r in rows])),
         "mean_opt_time_ms": float(np.mean([r.opt_time_ms for r in rows])),
+        "mean_avg_num_dofs": float(np.mean([r.avg_num_dofs for r in rows])),
     }))
+
+
+def _batch_init_controls(task, H, qpos, qvel, targets):
+    """Per-scene init controls (CreateInitOptimisationControls per trial)."""
+    dtype = task.model.dtype
+    if task.name.startswith("push"):
+        from .tasks.pushing import jacobian_ee_init_controls
+
+        run = jax.jit(jax.vmap(
+            lambda qp, qv, tg: jacobian_ee_init_controls(task, H, qp, qv, tg)
+        ))
+        return np.asarray(run(
+            jnp.asarray(qpos, dtype), jnp.asarray(qvel, dtype),
+            jnp.asarray(targets, dtype),
+        ))
+    return np.zeros((qpos.shape[0], H, task.model.nu))
 
 
 def _sync_mpc_campaign(task, cfg, args):

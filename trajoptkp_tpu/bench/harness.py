@@ -81,6 +81,7 @@ def openloop_campaign(
     noise_key: Optional[jax.Array] = None,
     controls_noise: float = 0.0,
     batch_mode: str = "fused",
+    optimiser: str = "iLQR",
 ) -> List[TrialRow]:
     """Run an N-scene open-loop campaign (GenDataOpenloopOptimisation).
 
@@ -111,7 +112,23 @@ def openloop_campaign(
         jnp.asarray(U_init, dtype),
         jnp.asarray(scenes_targets, dtype),
     )
-    if batch_mode == "phases":
+    avg_dofs_arr = None
+    if optimiser == "iLQR_SVR":
+        from ..solver.ilqr_svr import SVRConfig, make_svr_optimise
+
+        keys = jax.random.split(
+            noise_key if noise_key is not None else jax.random.PRNGKey(1), N
+        )
+
+        def one_svr(qpos0, qvel0, U0, targets, key):
+            t = task.replace(residual_targets=targets)
+            return make_svr_optimise(t, cfg, SVRConfig(), H)(
+                qpos0, qvel0, U0, key
+            )
+
+        run_svr = jax.jit(jax.vmap(one_svr))
+        batched = lambda qp, qv, U, tg: run_svr(qp, qv, U, tg, keys)
+    elif batch_mode == "phases":
         from ..solver.batched import make_batched_phase_optimise
 
         run = make_batched_phase_optimise(task, cfg, H)
@@ -131,31 +148,40 @@ def openloop_campaign(
     batch_ms = (time.perf_counter() - t0) * 1e3
     per_solve_ms = batch_ms / N
 
-    # instrumented single solve for the per-phase breakdown
-    _, stats = optimise(
-        task.replace(
-            residual_targets=jnp.asarray(scenes_targets[0], dtype)
-        ),
-        jnp.asarray(scenes_qpos[0], dtype),
-        jnp.asarray(scenes_qvel[0], dtype),
-        jnp.asarray(U_init[0], dtype),
-        cfg,
-    )
-    t_derivs = float(np.mean(stats.time_derivs_ms)) if stats.time_derivs_ms else 0.0
-    t_bp = float(np.mean(stats.time_bp_ms)) if stats.time_bp_ms else 0.0
-    t_fp = float(np.mean(stats.time_fp_ms)) if stats.time_fp_ms else 0.0
+    # instrumented single solve for the per-phase breakdown (iLQR only —
+    # the SVR solve is a single fused dispatch with no phase boundaries)
+    if optimiser == "iLQR_SVR":
+        t_derivs = t_bp = t_fp = 0.0
+    else:
+        _, stats = optimise(
+            task.replace(
+                residual_targets=jnp.asarray(scenes_targets[0], dtype)
+            ),
+            jnp.asarray(scenes_qpos[0], dtype),
+            jnp.asarray(scenes_qvel[0], dtype),
+            jnp.asarray(U_init[0], dtype),
+            cfg,
+        )
+        t_derivs = float(np.mean(stats.time_derivs_ms)) if stats.time_derivs_ms else 0.0
+        t_bp = float(np.mean(stats.time_bp_ms)) if stats.time_bp_ms else 0.0
+        t_fp = float(np.mean(stats.time_fp_ms)) if stats.time_fp_ms else 0.0
 
     rows = []
     reductions = np.asarray(res.cost_reduction)
     iters = np.asarray(res.num_iterations)
-    pct = np.asarray(res.pct_derivs)
+    if optimiser == "iLQR_SVR":
+        avg_dofs = np.asarray(res.avg_dofs)
+        pct = np.full((N,), 100.0)
+    else:
+        avg_dofs = np.full((N,), float(task.sv.ndof))
+        pct = np.asarray(res.pct_derivs)
     for i in range(N):
         rows.append(
             TrialRow(
                 cost_reduction=float(reductions[i]),
                 opt_time_ms=per_solve_ms,
                 num_iterations=int(iters[i]),
-                avg_num_dofs=float(task.sv.ndof),
+                avg_num_dofs=float(avg_dofs[i]),
                 avg_percent_derivs=float(pct[i]),
                 avg_time_derivs_ms=t_derivs,
                 avg_time_bp_ms=t_bp,

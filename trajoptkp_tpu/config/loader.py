@@ -261,6 +261,89 @@ def save_scene_csv(path: str, scene: SceneSpec) -> None:
         f.write(",".join(str(v) for v in vals) + ",\n")
 
 
+def scene_layout(model):
+    """Infer the TestTasks CSV layout from the model topology.
+
+    The reference writes robot scalar-joint start positions first, then one
+    6-value (lin xyz + euler rpy) block per rigid body, then the flattened
+    residual targets (`/root/reference/src/FileHandler/FileHandler.cpp:423-469`).
+    Here: robot joints = scalar (hinge/slide) joints in model order; bodies =
+    free joints in model order.
+
+    Returns (robot_qadr: list of qpos addresses, free_joint_ids: list).
+    """
+    from ..dynamics.model import FREE, HINGE, SLIDE
+
+    robot_qadr, free_joints = [], []
+    for j in range(model.njnt):
+        if model.jnt_type[j] in (HINGE, SLIDE):
+            robot_qadr.append(model.jnt_qposadr[j])
+        elif model.jnt_type[j] == FREE:
+            free_joints.append(j)
+    return robot_qadr, free_joints
+
+
+def load_scenes_for_task(task: Task, scenes_dir: str, num: Optional[int] = None):
+    """Load reference TestTasks/<task>/<i>.csv scenes into batched arrays.
+
+    Wires `LoadTaskFromFile` semantics onto our Task: scalar-joint starts are
+    scattered to their qpos addresses, free-joint bodies get pos + euler->quat,
+    and residual targets are truncated/padded to the task's target length.
+
+    Returns (qpos (N, nq), qvel (N, nv) zeros, targets (N, ntargets)).
+    """
+    from ..utils.math import euler_to_quat
+
+    model = task.model
+    robot_qadr, free_joints = scene_layout(model)
+    n_rj = len(robot_qadr)
+    n_bodies = len(free_joints)
+    ntargets = len(task.residual_targets)
+
+    files = sorted(
+        (f for f in os.listdir(scenes_dir) if f.endswith(".csv")),
+        key=lambda f: int(os.path.splitext(f)[0]),
+    )
+    if num is not None:
+        files = files[:num]
+    if not files:
+        raise FileNotFoundError(f"no scene CSVs in {scenes_dir}")
+
+    qpos_rows, target_rows = [], []
+    for f in files:
+        row = [
+            float(x)
+            for x in open(os.path.join(scenes_dir, f)).read().strip().split(",")
+            if x.strip() != ""
+        ]
+        if len(row) < n_rj + 6 * n_bodies:
+            raise ValueError(
+                f"{f}: {len(row)} values < {n_rj} joints + {6*n_bodies} body dofs"
+            )
+        qpos = np.asarray(task.qpos_start, dtype=np.float64).copy()
+        for k, qadr in enumerate(robot_qadr):
+            qpos[qadr] = row[k]
+        i = n_rj
+        for j in free_joints:
+            qadr = model.jnt_qposadr[j]
+            qpos[qadr : qadr + 3] = row[i : i + 3]
+            quat = np.asarray(euler_to_quat(jnp.asarray(np.array(row[i + 3 : i + 6]))))
+            qpos[qadr + 3 : qadr + 7] = quat
+            i += 6
+        raw_targets = np.array(row[i:], dtype=np.float64)
+        targets = np.asarray(task.residual_targets, dtype=np.float64).copy()
+        targets[: min(ntargets, len(raw_targets))] = raw_targets[:ntargets]
+        qpos_rows.append(qpos)
+        target_rows.append(targets)
+
+    dtype = model.dtype
+    return (
+        np.stack(qpos_rows),
+        np.zeros((len(files), model.nv)),
+        np.stack(target_rows),
+    )
+
+
 def apply_scene(task: Task, scene: SceneSpec, body_names: List[str] = ()) -> Task:
     """Install a scene's start state + targets into a Task.
 

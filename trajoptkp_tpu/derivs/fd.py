@@ -165,13 +165,18 @@ def ad_job_columns(
     return colA_pos, colA_vel, colB
 
 
-def _batched_fd_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
+def _batched_fd_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps,
+                        warm_b=None):
     """Central-FD columns for a batch of jobs through ONE vmapped step graph.
 
     Builds all 6 perturbed configurations per job up front (cheap scatter
     ops), runs a single vmap(step) over the (6*njobs) batch, and recombines —
     the compiled graph contains the stepper once instead of six times, which
     cuts XLA compile time ~6x and gives the compiler one large fusion.
+
+    warm_b (optional, (J, nv)): per-job constraint-solver warmstart — all 6
+    perturbed configurations share it, exactly like the reference copies one
+    qacc_warmstart into each FD replica (`MuJoCoHelper.cpp:732-741`).
     """
     nv, nu = model.nv, model.nu
     njobs = qpos_b.shape[0]
@@ -197,9 +202,15 @@ def _batched_fd_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
     CT = jnp.concatenate(
         [ctrl_b, ctrl_b, ctrl_b, ctrl_b, ctrl_b + eps * e_u, ctrl_b - eps * e_u]
     )
-    out_qp, out_qv = jax.vmap(
-        lambda a, b, c: step_state(model, a, b, c)
-    )(QP, QV, CT)
+    if warm_b is None:
+        out_qp, out_qv = jax.vmap(
+            lambda a, b, c: step_state(model, a, b, c)
+        )(QP, QV, CT)
+    else:
+        WS = jnp.concatenate([warm_b] * 6)
+        out_qp, out_qv = jax.vmap(
+            lambda a, b, c, w: step_state(model, a, b, c, w)
+        )(QP, QV, CT, WS)
     out_qp = out_qp.reshape(6, njobs, -1)
     out_qv = out_qv.reshape(6, njobs, -1)
 
@@ -214,11 +225,14 @@ def _batched_fd_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
     return colA_pos, colA_vel, colB
 
 
-def _batched_ad_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
+def _batched_ad_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps,
+                        warm_b=None):
     """Exact JVP columns, one jvp'd step graph for the whole (3*njobs) batch.
 
     Output tangent coordinates are about each job's nominal next state
-    (matches FD semantics; see ad_job_columns)."""
+    (matches FD semantics; see ad_job_columns).  warm_b is held constant
+    under the JVP (the reference likewise copies one qacc_warmstart into
+    every FD replica rather than re-deriving it per perturbation)."""
     nv, nu = model.nv, model.nu
     njobs = qpos_b.shape[0]
     dtype = qpos_b.dtype
@@ -231,18 +245,22 @@ def _batched_ad_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
         e_u = jnp.zeros((njobs, 0), dtype=dtype)
     zv = jnp.zeros_like(e_v)
     zu = jnp.zeros_like(e_u)
+    if warm_b is None:
+        warm_b = jnp.zeros((njobs, 0), dtype=dtype)  # sentinel: cold start
 
-    qp_nom, qv_nom = jax.vmap(lambda a, b, c: step_state(model, a, b, c))(
-        qpos_b, qvel_b, ctrl_b
-    )
+    def nom_step(a, b, c, w):
+        return step_state(model, a, b, c, w if w.shape[-1] else None)
 
-    def one_dir(qpos, qvel, ctrl, qpn, qvn, dp, dv, du):
+    qp_nom, qv_nom = jax.vmap(nom_step)(qpos_b, qvel_b, ctrl_b, warm_b)
+
+    def one_dir(qpos, qvel, ctrl, warm, qpn, qvn, dp, dv, du):
         def f(dpos, dvel, dctrl):
             qp, qv = step_state(
                 model,
                 integrate_pos(model, qpos, dpos, 1.0),
                 qvel + dvel,
                 ctrl + dctrl,
+                warm if warm.shape[-1] else None,
             )
             return _tangent_out(model, sv, qpn, qvn, qp, qv, 1.0)
 
@@ -257,13 +275,14 @@ def _batched_ad_columns(model, sv, qpos_b, qvel_b, ctrl_b, d_b, eps):
     DV = jnp.concatenate([zv, e_v, zv])
     DU = jnp.concatenate([zu, zu, e_u])
     cols = jax.vmap(one_dir)(
-        rep(qpos_b), rep(qvel_b), rep(ctrl_b), rep(qp_nom), rep(qv_nom),
+        rep(qpos_b), rep(qvel_b), rep(ctrl_b), rep(warm_b),
+        rep(qp_nom), rep(qv_nom),
         DP, DV, DU,
     ).reshape(3, njobs, -1)
     return cols[0], cols[1], cols[2]
 
 
-def _time_ad_jacobian(model, sv, qpos, qvel, ctrl):
+def _time_ad_jacobian(model, sv, qpos, qvel, ctrl, warm=None):
     """Full A/B column block at ONE timestep via a single jacfwd.
 
     One primal step evaluation shared across all 2*ndof+nu tangent
@@ -278,7 +297,7 @@ def _time_ad_jacobian(model, sv, qpos, qvel, ctrl):
     n = sv.ndof
     idx = jnp.array(sv.order)
     dtype = qpos.dtype
-    qp_nom, qv_nom = step_state(model, qpos, qvel, ctrl)
+    qp_nom, qv_nom = step_state(model, qpos, qvel, ctrl, warm)
 
     def g(z):
         dpos = jnp.zeros((nv,), dtype).at[idx].set(z[:n])
@@ -289,6 +308,7 @@ def _time_ad_jacobian(model, sv, qpos, qvel, ctrl):
             integrate_pos(model, qpos, dpos, 1.0),
             qvel + dvel,
             ctrl + du,
+            warm,
         )
         return _tangent_out(model, sv, qp_nom, qv_nom, qp, qv, 1.0)
 
@@ -304,6 +324,7 @@ def time_keypoint_jacobians(
     mask: jnp.ndarray,        # (H, ndof) keypoint mask
     time_budget: int,
     chunk_size: int = None,
+    warm_traj: jnp.ndarray = None,  # (H, nv) rollout warmstart deltas
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """AD Jacobians batched over keypoint TIMES (one jacfwd per time).
 
@@ -341,9 +362,16 @@ def time_keypoint_jacobians(
     def chunk_body(carry, inp):
         A_kp, B_kp, touched = carry
         ct, cv = inp
-        J = jax.vmap(
-            lambda qp, qv_, u: _time_ad_jacobian(model, sv, qp, qv_, u)
-        )(qpos_traj[ct], qvel_traj[ct], ctrl_traj[ct])  # (C, 2n, 2n+nu)
+        if warm_traj is None:
+            J = jax.vmap(
+                lambda qp, qv_, u: _time_ad_jacobian(model, sv, qp, qv_, u)
+            )(qpos_traj[ct], qvel_traj[ct], ctrl_traj[ct])  # (C, 2n, 2n+nu)
+        else:
+            J = jax.vmap(
+                lambda qp, qv_, u, w: _time_ad_jacobian(
+                    model, sv, qp, qv_, u, w
+                )
+            )(qpos_traj[ct], qvel_traj[ct], ctrl_traj[ct], warm_traj[ct])
         m = col_mask[ct] * cv.astype(dtype)[:, None]     # (C, 2n+nu)
         J = J * m[:, None, :]
         A_kp = A_kp.at[ct].add(J[:, :, : 2 * n])
@@ -393,6 +421,7 @@ def keypoint_jacobians(
     eps: float = 1e-6,
     mode: str = "fd",
     chunk_size: int = None,
+    warm_traj: jnp.ndarray = None,  # (H, nv) rollout warmstart deltas
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute A/B columns at all keypoint jobs in one batched launch.
 
@@ -429,7 +458,8 @@ def keypoint_jacobians(
         A_kp, B_kp, touched = carry
         ct, cd, cv = inp
         colA_pos, colA_vel, colB = col_fn(
-            model, sv, qpos_traj[ct], qvel_traj[ct], ctrl_traj[ct], cd, eps
+            model, sv, qpos_traj[ct], qvel_traj[ct], ctrl_traj[ct], cd, eps,
+            warm_b=None if warm_traj is None else warm_traj[ct],
         )
         vmask = cv.astype(dtype)[:, None]
         A_kp = A_kp.at[ct, :, cd].add(colA_pos * vmask)

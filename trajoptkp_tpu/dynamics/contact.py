@@ -35,6 +35,107 @@ from .model import BALL, FREE, HINGE, SLIDE, Data, Model
 _NEWTON_ITERS = 8
 
 
+def _newton_iterations(model_nv: int, n_iters: int):
+    """Projected-Newton iterations on the primal problem (shared by the two
+    custom_jvp solver instances below)."""
+
+    def run(M, a0, J, aref, invR, x_init):
+        def newton_step(x, _):
+            y = J @ x - aref
+            gate = (y < 0).astype(x.dtype) * invR
+            e = x - a0
+            Me = M @ e
+            grad = Me + J.T @ (gate * y)
+            H = M + jnp.einsum("in,i,im->nm", J, gate, J)
+            dx = -sym_solve(
+                H + 1e-10 * jnp.eye(model_nv, dtype=x.dtype), grad
+            )
+
+            # line search on the merit, sharing matvecs: along x + alpha*dx
+            # the smooth part is an exact quadratic in alpha and the penalty
+            # reuses y and J@dx — no fresh J@z / M@z per candidate.
+            Jdx = J @ dx
+            Mdx = M @ dx
+            eMe = e @ Me
+            eMdx = e @ Mdx
+            dMd = dx @ Mdx
+
+            def cost_alpha(alpha):
+                ya = y + alpha * Jdx
+                pen = jnp.where(ya < 0, ya, 0.0)
+                return 0.5 * (eMe + 2 * alpha * eMdx + alpha * alpha * dMd) \
+                    + 0.5 * jnp.sum(invR * pen * pen)
+
+            # convex piecewise-quadratic objective: the full Newton step is
+            # almost always accepted, but near active-set kinks both 1 and
+            # 0.5 can overshoot (a warmstarted iterate can then stall at
+            # alpha=0 permanently), so evaluate a geometric candidate ladder
+            # — each candidate costs only one (nefc,) vector op via the
+            # shared expansions above.
+            cands = jnp.array(
+                [1.0, 0.5, 0.25, 0.1, 0.04, 0.01], dtype=x.dtype
+            )
+            costs = jax.vmap(cost_alpha)(cands)
+            best = jnp.argmin(costs)
+            alpha = jnp.where(
+                costs[best] < cost_alpha(0.0), cands[best], 0.0
+            )
+            return x + alpha * dx, None
+
+        x, _ = jax.lax.scan(newton_step, x_init, None, length=n_iters)
+        return x
+
+    return run
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _newton_solver(model_nv: int, n_iters: int):
+    """custom_jvp projected-Newton solver: iterate in the primal, but
+    differentiate IMPLICITLY at the solution.
+
+    Forward-mode AD through truncated Newton iterations is both expensive
+    (every tangent re-traverses all iterations) and wrong when the tangent
+    recursion hasn't converged — with a warmstarted 5-iteration solve it
+    produces O(1e4) garbage Jacobian entries in f32.  The implicit-function
+    rule at the converged point is exact (what mjd_transitionFD measures on
+    a converged MuJoCo solve), and all tangent directions share ONE
+    factorisation of H = M + J^T G J because H is primal-only — under
+    jax.jacfwd the factorisation is hoisted out of the tangent vmap.
+    """
+    core = _newton_iterations(model_nv, n_iters)
+
+    @jax.custom_jvp
+    def solve(M, a0, J, aref, invR, x_init):
+        return core(M, a0, J, aref, invR, x_init)
+
+    @solve.defjvp
+    def solve_jvp(primals, tangents):
+        M, a0, J, aref, invR, x_init = primals
+        dM, da0, dJ, daref, dinvR, _ = tangents  # solution ⟂ x_init
+        x = solve(M, a0, J, aref, invR, x_init)
+
+        # optimality residual F(x; θ) = M (x - a0) + J^T (g ∘ (J x - aref)),
+        # g = 1_{y<0} invR.  dx = -(∂F/∂x)^{-1} (∂F/∂θ · dθ), with
+        # ∂F/∂x = M + J^T G J on the (a.e. locally constant) active set.
+        def F(M_, a0_, J_, aref_, invR_):
+            y_ = J_ @ x - aref_
+            g_ = jnp.where(y_ < 0, invR_, 0.0)
+            return M_ @ (x - a0_) + J_.T @ (g_ * y_)
+
+        _, dF = jax.jvp(F, (M, a0, J, aref, invR),
+                        (dM, da0, dJ, daref, dinvR))
+        y = J @ x - aref
+        gate = (y < 0).astype(x.dtype) * invR
+        H = M + jnp.einsum("in,i,im->nm", J, gate, J)
+        dx = -sym_solve(H + 1e-10 * jnp.eye(model_nv, dtype=x.dtype), dF)
+        return x, dx
+
+    return solve
+
+
 def _impedance(solimp, pos):
     """mj_assignImpedance: sigmoid from d0 to dwidth over `width`."""
     d0, dwidth, width, midpoint, power = (
@@ -234,50 +335,69 @@ def assemble_constraints(model: Model, data: Data) -> Rows:
     )
 
 
+# 5 warm iterations behaviourally matches the 8-iteration cold solve on the
+# chaotic box-box impact suite (4 visibly under-resolves impact transients —
+# tests/test_contacts.py::test_piston_pushes_block)
+_NEWTON_ITERS_WARM = 5
+
+
 def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Data:
-    """Projected-Newton solve of the primal soft-constraint problem."""
+    """Projected-Newton solve of the primal soft-constraint problem.
+
+    Warmstart semantics (the reference relies on MuJoCo's qacc_warmstart,
+    copied per FD replica at `MuJoCoHelper.cpp:732-741`): when
+    ``data.warmstart`` is set it holds the previous step's constraint
+    correction delta (qacc - qacc_smooth); Newton starts from
+    x0 = qacc_smooth + delta and runs fewer iterations (consecutive rollout
+    steps are close, so 4 warm iterations match 8 cold ones well inside the
+    soft-constraint tolerance).  A zero delta reproduces the cold start
+    exactly, so scans can initialise the carry with zeros.
+
+    Fills qfrc_constraint, qacc (= the Newton solution — the exact
+    constrained acceleration, no extra solve), and the new warmstart delta.
+    """
     rows = assemble_constraints(model, data)
     nefc = rows.J.shape[0]
     if nefc == 0:
         return data.replace(qfrc_constraint=jnp.zeros_like(qfrc_smooth))
 
     M = data.qM
-    a0 = sym_solve(M, qfrc_smooth)  # qacc_smooth
+    from ..utils.linalg import chol_solve_unrolled, chol_unrolled
+
+    if model.nv <= 20:
+        Lm = chol_unrolled(M)
+        a0 = chol_solve_unrolled(Lm, qfrc_smooth)  # qacc_smooth
+    else:
+        a0 = sym_solve(M, qfrc_smooth)
 
     J = rows.J * rows.active[:, None]
     aref = rows.aref
     invR = rows.active / rows.R  # inactive rows contribute nothing
 
-    def newton_step(x, _):
-        y = J @ x - aref
-        # one-sided penalty: active when y < 0
-        gate = (y < 0).astype(x.dtype) * invR
-        grad = M @ (x - a0) + J.T @ (gate * y)
-        H = M + jnp.einsum("in,i,im->nm", J, gate, J)
-        dx = -sym_solve(H + 1e-10 * jnp.eye(model.nv, dtype=x.dtype), grad)
+    def _merit(z):
+        yz = J @ z - aref
+        pen = jnp.where(yz < 0, yz, 0.0)
+        return 0.5 * (z - a0) @ (M @ (z - a0)) + 0.5 * jnp.sum(
+            invR * pen * pen
+        )
 
-        # backtracking line search on the merit (cost is piecewise quadratic)
-        def cost(z):
-            yz = J @ z - aref
-            pen = jnp.where(yz < 0, yz, 0.0)
-            return 0.5 * (z - a0) @ (M @ (z - a0)) + 0.5 * jnp.sum(
-                invR * pen * pen
-            )
+    if data.warmstart is not None:
+        # accept the warmstart only when it beats the smooth start (MuJoCo's
+        # mj_warmstart does the same comparison) and is finite — an f32
+        # delta carried across an impact can otherwise drift the start
+        # arbitrarily far from the solution.
+        x_ws = a0 + data.warmstart
+        ok = jnp.all(jnp.isfinite(x_ws)) & (_merit(x_ws) < _merit(a0))
+        x_init = jnp.where(ok, x_ws, a0)
+        n_iters = _NEWTON_ITERS_WARM
+    else:
+        x_init = a0
+        n_iters = _NEWTON_ITERS
 
-        # convex piecewise-quadratic objective: the full Newton step is
-        # almost always accepted; a single half-step guard handles
-        # active-set flips (2 candidate evals instead of a 5-way search)
-        c0 = cost(x)
-        x1 = x + dx
-        x2 = x + 0.5 * dx
-        c1 = cost(x1)
-        c2 = cost(x2)
-        best_step = jnp.where((c1 <= c2) & (c1 < c0), x1,
-                              jnp.where((c2 < c0), x2, x))
-        return best_step, None
-
-    x, _ = jax.lax.scan(newton_step, a0, None, length=_NEWTON_ITERS)
+    x = _newton_solver(model.nv, n_iters)(M, a0, J, aref, invR, x_init)
     y = J @ x - aref
     f = -jnp.where(y < 0, y, 0.0) * invR
     qfrc_constraint = J.T @ f
-    return data.replace(qfrc_constraint=qfrc_constraint)
+    return data.replace(
+        qfrc_constraint=qfrc_constraint, qacc=x, warmstart=x - a0
+    )

@@ -174,6 +174,11 @@ class Data:
     qfrc_constraint: jnp.ndarray = None  # (nv,) contact + limit forces
     qM: jnp.ndarray = None               # (nv, nv) mass matrix
     qacc: jnp.ndarray = None             # (nv,)
+    # constraint-solver warmstart: previous step's (qacc - qacc_smooth) delta
+    # (the qacc_warmstart analogue, `MuJoCoHelper.cpp:732-741` copies it per
+    # FD data replica).  None = cold start (x0 = qacc_smooth, more Newton
+    # iterations); set by the rollout/line-search scans for a ~2x step cost cut.
+    warmstart: jnp.ndarray = None        # (nv,)
 
 
 def make_data(model: Model, dtype=None) -> Data:

@@ -25,13 +25,21 @@ from .smooth import fwd_velocity_smooth
 
 
 def forward(model: Model, data: Data) -> Data:
-    """Forward dynamics: fill FK products, forces, and qacc (mj_forward)."""
+    """Forward dynamics: fill FK products, forces, and qacc (mj_forward).
+
+    With constraints present, qacc is the projected-Newton solution directly
+    (the solver optimises over accelerations, so its iterate IS the
+    constrained qacc — no extra mass-matrix solve).  data.warmstart, when
+    set by the caller (rollout/line-search scan carries), seeds the solver
+    with the previous step's constraint delta and runs fewer iterations.
+    """
     data = forward_kinematics(model, data)
     data = fwd_velocity_smooth(model, data)
     qfrc_smooth = data.qfrc_passive + data.qfrc_actuator - data.qfrc_bias
     data = constraint_force(model, data, qfrc_smooth)
-    rhs = qfrc_smooth + data.qfrc_constraint
-    qacc = sym_solve(data.qM, rhs)
+    if model.contact_pairs or any(model.jnt_limited):
+        return data  # qacc + warmstart filled by the constraint solver
+    qacc = sym_solve(data.qM, qfrc_smooth)
     return data.replace(qacc=qacc)
 
 
@@ -64,14 +72,21 @@ def step(model: Model, data: Data) -> Data:
     return advance(model, forward(model, data))
 
 
-def step_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl: jnp.ndarray):
+def step_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
+               ctrl: jnp.ndarray, warmstart: jnp.ndarray = None):
     """Functional convenience wrapper: (qpos, qvel, ctrl) -> (qpos', qvel').
 
     This is the signature the derivative engine vmaps over (the analogue of
-    the reference's `mj_stepSkip` FD kernel).
+    the reference's `mj_stepSkip` FD kernel).  `warmstart` (optional) is the
+    constraint-solver delta the rollout used at this state — passing it makes
+    the differentiated function IDENTICAL to the rollout's step (the
+    reference instead clamps the solver to 5 iterations during FD,
+    `MuJoCoHelper.cpp:925-937`, differentiating a *different* function than
+    its rollouts integrate; we keep the two in exact agreement).
     """
     data = Data(
-        qpos=qpos, qvel=qvel, ctrl=ctrl, time=jnp.zeros((), dtype=qpos.dtype)
+        qpos=qpos, qvel=qvel, ctrl=ctrl, time=jnp.zeros((), dtype=qpos.dtype),
+        warmstart=warmstart,
     )
     out = step(model, data)
     return out.qpos, out.qvel

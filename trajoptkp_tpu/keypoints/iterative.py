@@ -40,6 +40,7 @@ def iterative_error_keypoints(
     threshold: float,
     mode: str = "fd",
     fd_eps: float = 1e-6,
+    warm_traj: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (mask (H, n) bool, A_cols (H, 2n, 2n), B_cols (H, 2n, nu),
     computed (H, n) bool).
@@ -68,7 +69,7 @@ def iterative_error_keypoints(
         )
         A_kp, B_kp, _ = keypoint_jacobians(
             model, sv, qpos_traj, qvel_traj, ctrl_traj, jobs,
-            eps=fd_eps, mode=mode,
+            eps=fd_eps, mode=mode, warm_traj=warm_traj,
         )
         A_cache = A_cache + A_kp
         B_cache = B_cache + B_kp

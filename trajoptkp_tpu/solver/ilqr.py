@@ -68,12 +68,18 @@ class ILQRConfig:
 
 class Trajectory(NamedTuple):
     """Nominal trajectory storage (replaces the mjData snapshot list,
-    `include/MuJoCoHelper.h:118-123`)."""
+    `include/MuJoCoHelper.h:118-123`).
+
+    `warm` stores the constraint-solver warmstart delta the rollout used at
+    each step (the qacc_warmstart analogue the reference copies per FD
+    replica, `MuJoCoHelper.cpp:732-741`) so the derivative engine can
+    differentiate exactly the function the rollout integrated."""
 
     qpos: jnp.ndarray   # (H+1, nq)
     qvel: jnp.ndarray   # (H+1, nv)
     ctrl: jnp.ndarray   # (H, nu)
     costs: jnp.ndarray  # (H,)
+    warm: jnp.ndarray = None  # (H, nv) solver warmstart input per step
 
     @property
     def total_cost(self):
@@ -103,21 +109,33 @@ def _step_costs(task: Task, r_all: jnp.ndarray) -> jnp.ndarray:
 
 
 def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray) -> Trajectory:
-    """Roll out controls from an initial state (RolloutTrajectory analogue)."""
+    """Roll out controls from an initial state (RolloutTrajectory analogue).
+
+    The scan carries the constraint-solver warmstart delta (MuJoCo
+    qacc_warmstart semantics): zero at t=0 reproduces a cold start exactly,
+    and each step's Newton solve then starts from the previous correction.
+    """
     model = task.model
 
     def body(carry, u):
-        qpos, qvel = carry
-        data = Data(qpos=qpos, qvel=qvel, ctrl=u, time=jnp.zeros((), qpos.dtype))
+        qpos, qvel, warm = carry
+        data = Data(qpos=qpos, qvel=qvel, ctrl=u,
+                    time=jnp.zeros((), qpos.dtype), warmstart=warm)
         data = forward(model, data)
         r = task.residual_fn(model, data, task.residual_targets)
+        warm_out = data.warmstart if data.warmstart is not None else warm
         data = advance(model, data)
-        return (data.qpos, data.qvel), (qpos, qvel, r)
+        return (data.qpos, data.qvel, warm_out), (qpos, qvel, r, warm)
 
-    (qpN, qvN), (qps, qvs, r_all) = jax.lax.scan(body, (qpos0, qvel0), U)
+    warm0 = jnp.zeros((model.nv,), qpos0.dtype)
+    (qpN, qvN, _), (qps, qvs, r_all, warms) = jax.lax.scan(
+        body, (qpos0, qvel0, warm0), U
+    )
     qpos_traj = jnp.concatenate([qps, qpN[None]], axis=0)
     qvel_traj = jnp.concatenate([qvs, qvN[None]], axis=0)
-    return Trajectory(qpos_traj, qvel_traj, U, _step_costs(task, r_all))
+    return Trajectory(
+        qpos_traj, qvel_traj, U, _step_costs(task, r_all), warms
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -144,13 +162,14 @@ def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
         A_kp, B_kp, _ = time_keypoint_jacobians(
             model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, mask,
             time_budget=-(-budget // max(sv.ndof, 1)),
-            chunk_size=chunk_size,
+            chunk_size=chunk_size, warm_traj=traj.warm,
         )
     else:
         jobs = jobs_from_mask(mask, budget)
         A_kp, B_kp, _ = keypoint_jacobians(
             model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, jobs,
             eps=fd_eps, mode=mode, chunk_size=chunk_size,
+            warm_traj=traj.warm,
         )
     A, B = interpolate_derivatives(A_kp, B_kp, mask, model.nu)
     A = filter_dynamics(A, filtering)
@@ -202,12 +221,15 @@ def backward_pass(A, B, l_x, l_xx, l_u, l_uu, lamb):
     def bp_step(carry, inp):
         V_x, V_xx = carry
         A_t, B_t, lx_t, lxx_t, lu_t, luu_t = inp
-        Q_x = lx_t + A_t.T @ V_x
-        Q_u = lu_t + B_t.T @ V_x
-        VA = V_xx @ A_t
-        Q_xx = lxx_t + A_t.T @ VA
-        Q_uu = luu_t + B_t.T @ (V_xx @ B_t)
-        Q_ux = B_t.T @ VA
+        # one stacked [A|B] expansion: 2 GEMMs give all three Q blocks
+        AB = jnp.concatenate([A_t, B_t], axis=1)      # (2n, 2n+nu)
+        g = AB.T @ V_x                                # (2n+nu,)
+        G = AB.T @ (V_xx @ AB)                        # (2n+nu, 2n+nu)
+        Q_x = lx_t + g[:nx]
+        Q_u = lu_t + g[nx:]
+        Q_xx = lxx_t + G[:nx, :nx]
+        Q_uu = luu_t + G[nx:, nx:]
+        Q_ux = G[nx:, :nx]
         from ..utils.linalg import chol_solve_unrolled, chol_unrolled
 
         L = chol_unrolled(Q_uu + lamb * eye_u)
@@ -272,21 +294,23 @@ def forward_pass(task: Task, traj: Trajectory, k, K, alphas, old_cost):
 
     def one_alpha(alpha):
         def body(carry, t):
-            qpos, qvel = carry
+            qpos, qvel, warm = carry
             dx = to_tangent(
                 model, sv, qpos, qvel, traj.qpos[t], traj.qvel[t]
             )
             u = traj.ctrl[t] + alpha * k[t] + K[t] @ dx
             u = jnp.clip(u, limits[:, 0], limits[:, 1])
             data = Data(qpos=qpos, qvel=qvel, ctrl=u,
-                        time=jnp.zeros((), qpos.dtype))
+                        time=jnp.zeros((), qpos.dtype), warmstart=warm)
             data = forward(model, data)
             r = task.residual_fn(model, data, task.residual_targets)
+            warm_out = data.warmstart if data.warmstart is not None else warm
             data = advance(model, data)
-            return (data.qpos, data.qvel), (qpos, qvel, u, r)
+            return (data.qpos, data.qvel, warm_out), (qpos, qvel, u, r, warm)
 
-        (qpN, qvN), (qps, qvs, us, r_all) = jax.lax.scan(
-            body, (traj.qpos[0], traj.qvel[0]), jnp.arange(H)
+        warm0 = jnp.zeros((model.nv,), traj.qpos.dtype)
+        (qpN, qvN, _), (qps, qvs, us, r_all, warms) = jax.lax.scan(
+            body, (traj.qpos[0], traj.qvel[0], warm0), jnp.arange(H)
         )
         costs = _step_costs(task, r_all)
         new_traj = Trajectory(
@@ -294,6 +318,7 @@ def forward_pass(task: Task, traj: Trajectory, k, K, alphas, old_cost):
             jnp.concatenate([qvs, qvN[None]], axis=0),
             us,
             costs,
+            warms,
         )
         return jnp.sum(costs), new_traj
 
@@ -447,6 +472,7 @@ def optimise(
                     task, traj.qpos[:H], traj.qvel[:H], traj.ctrl,
                     kp_cfg.min_N, kp_cfg.iterative_error_threshold,
                     mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
+                    warm_traj=traj.warm,
                 )
                 derivs = _derivs_from_columns(
                     task, traj, mask, A_kp, B_kp, cfg.filtering

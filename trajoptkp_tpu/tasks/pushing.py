@@ -239,11 +239,22 @@ def ee_waypoint_path(task: Task, horizon: int, data: Data) -> jnp.ndarray:
     return ee_start[None, :] + ts * (end - ee_start)[None, :], angle
 
 
-def jacobian_ee_init_controls(task: Task, horizon: int):
+def jacobian_ee_init_controls(task: Task, horizon: int,
+                              qpos0=None, qvel0=None, targets=None):
     """JacobianEEControl (`PushBaseClass.cpp:139-248`): servo the EE along
     the waypoint path with J^+ forces + gravity compensation, stepping the
-    simulator; returns the (H, nu) control tape.  Fully jittable scan."""
+    simulator; returns the (H, nu) control tape.  Fully jittable scan; the
+    optional (qpos0, qvel0, targets) overrides let campaigns vmap this over
+    per-scene starts (the reference builds init controls per trial,
+    `GenTestingData.cpp:169-196`)."""
     model = task.model
+    if qpos0 is None:
+        qpos0 = task.qpos_start
+    if qvel0 is None:
+        qvel0 = task.qvel_start
+    if targets is not None:
+        task = task.replace(residual_targets=targets)
+    task = task.replace(qpos_start=qpos0, qvel_start=qvel0)
     ee_site = model.site_names.index("ee")
     site_body = model.site_bodyid[ee_site]
     dtype = model.dtype

@@ -27,6 +27,8 @@ def save_trajectory(path: str, traj, lamb: Optional[float] = None,
         "ctrl": np.asarray(traj.ctrl),
         "costs": np.asarray(traj.costs),
     }
+    if getattr(traj, "warm", None) is not None:
+        payload["warm"] = np.asarray(traj.warm)
     if lamb is not None:
         payload["lamb"] = np.asarray(lamb)
     for k, v in (meta or {}).items():
@@ -45,6 +47,7 @@ def load_trajectory(path: str, dtype=None):
         qvel=cast(z["qvel"]),
         ctrl=cast(z["ctrl"]),
         costs=cast(z["costs"]),
+        warm=cast(z["warm"]) if "warm" in z else None,
     )
     lamb = float(z["lamb"]) if "lamb" in z else None
     return traj, lamb
