@@ -58,7 +58,9 @@ def make_batched_phase_optimise(task, cfg: ILQRConfig, H: int):
     @jax.jit
     def rollout_b(qp, qv, U, targets):
         return jax.vmap(
-            lambda a, b, c, t: rollout(with_targets(t), a, b, c)
+            lambda a, b, c, t: rollout(
+                with_targets(t), a, b, c, cfg.warmstart_rollouts
+            )
         )(qp, qv, U, targets)
 
     @jax.jit
@@ -86,7 +88,8 @@ def make_batched_phase_optimise(task, cfg: ILQRConfig, H: int):
     def fp_b(traj, k, K, old_cost, targets):
         return jax.vmap(
             lambda tr, kk, KK, oc, t: forward_pass(
-                with_targets(t), tr, kk, KK, alphas, oc
+                with_targets(t), tr, kk, KK, alphas, oc,
+                cfg.warmstart_rollouts
             )
         )(traj, k, K, old_cost, targets)
 

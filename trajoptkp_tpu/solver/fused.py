@@ -16,7 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..keypoints.methods import generate_keypoints
+from ..keypoints.methods import (auto_adjust_mask, generate_keypoints,
+                                 percentage_derivs)
 from ..tasks.base import Task
 from .ilqr import (ILQRConfig, Trajectory, _deriv_budget,
                    backward_pass_lambda_loop, compute_derivatives,
@@ -31,6 +32,11 @@ class FusedState(NamedTuple):
     done: jnp.ndarray           # converged or lambda-exit
     last_best_alpha: jnp.ndarray
     pct_derivs: jnp.ndarray
+    # auto_adjust surprise-controller state (AdjustKeyPointMethod,
+    # KeyPointGenerator.cpp:137-207); carried but inert when the task's
+    # keypoint config has auto_adjust=False
+    adj_mask: jnp.ndarray       # (H, ndof) bool — next iteration's keypoints
+    last_pct: jnp.ndarray       # (ndof,) last per-dof %derivs
 
 
 class FusedResult(NamedTuple):
@@ -61,10 +67,15 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
     dt = model.timestep
     sv_idx = jnp.array(sv.order)
 
+    dof_importances = jnp.ones((sv.ndof,), model.dtype)
+
     def iteration(state: FusedState) -> FusedState:
         traj, old_cost = state.traj, state.old_cost
         vel_sv = traj.qvel[:H][:, sv_idx]
-        mask = generate_keypoints(kp_cfg, vel_sv, dt)
+        if kp_cfg.auto_adjust:
+            mask = state.adj_mask
+        else:
+            mask = generate_keypoints(kp_cfg, vel_sv, dt)
         A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
             filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
@@ -73,7 +84,7 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
             A, B, l_x, l_xx, l_u, l_uu, state.lamb, cfg
         )
         traj_new, new_cost, accepted, best_alpha = forward_pass(
-            task, traj, k, K, alphas, old_cost
+            task, traj, k, K, alphas, old_cost, cfg.warmstart_rollouts
         )
         converged = (old_cost - new_cost) / jnp.maximum(new_cost, 1e-12) \
             < cfg.eps_converge
@@ -87,6 +98,19 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
         )
         it = state.it + 1
         done = lambda_exit | (converged & (it >= cfg.min_iterations))
+        if kp_cfg.auto_adjust:
+            # surprise controller (KeyPointGenerator.cpp:137-207): expected
+            # vs actual reduction steers next iteration's keypoint budget
+            a = best_alpha
+            expected = -(a * dJ + (a * a / 2.0) * dJ)
+            actual = old_cost - new_cost
+            vel_new = traj_new.qvel[:H][:, sv_idx]
+            adj_mask = auto_adjust_mask(
+                vel_new, dt, expected, actual, pct, dof_importances,
+                kp_cfg.max_N,
+            )
+        else:
+            adj_mask = state.adj_mask
         return FusedState(
             traj=traj_new,
             old_cost=new_cost,
@@ -95,11 +119,15 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
             done=done,
             last_best_alpha=best_alpha,
             pct_derivs=jnp.mean(pct),
+            adj_mask=adj_mask,
+            last_pct=pct,
         )
 
     def optimise_fused(qpos0, qvel0, U0) -> FusedResult:
-        traj = rollout(task, qpos0, qvel0, U0)
+        traj = rollout(task, qpos0, qvel0, U0, cfg.warmstart_rollouts)
         initial_cost = traj.total_cost
+        vel0 = traj.qvel[:H][:, sv_idx]
+        mask0 = generate_keypoints(kp_cfg, vel0, dt)
         state = FusedState(
             traj=traj,
             old_cost=initial_cost,
@@ -108,6 +136,8 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
             done=jnp.zeros((), bool),
             last_best_alpha=jnp.zeros((), model.dtype),
             pct_derivs=jnp.zeros((), model.dtype),
+            adj_mask=mask0,
+            last_pct=percentage_derivs(mask0),
         )
         state = jax.lax.while_loop(
             lambda s: jnp.logical_not(s.done) & (s.it < cfg.max_iterations),

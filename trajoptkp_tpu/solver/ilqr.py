@@ -64,6 +64,14 @@ class ILQRConfig:
     # pads the (nbody, 6, 6) FK tensors ~28x, so memory bites early
     deriv_chunk: Optional[int] = struct.field(pytree_node=False, default=None)
     filtering: str = struct.field(pytree_node=False, default="none")
+    # carry the constraint-solver warmstart through rollout/line-search scans
+    # (MuJoCo qacc_warmstart semantics).  OFF by default: warmstarting makes
+    # the step a function of the trajectory PREFIX, not just (x_t, u_t) —
+    # on contact-rich tasks that history dependence breaks the Markov
+    # assumption the iLQR linear model relies on and stalls the line search
+    # (push_ncl cost reduction 0.91 cold vs 0.21 warm).  The FD/AD engines
+    # honour it for parity experiments when enabled.
+    warmstart_rollouts: bool = struct.field(pytree_node=False, default=False)
 
 
 class Trajectory(NamedTuple):
@@ -108,12 +116,13 @@ def _step_costs(task: Task, r_all: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(w * r_all * r_all, axis=1)
 
 
-def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray) -> Trajectory:
+def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray,
+            warmstart: bool = False) -> Trajectory:
     """Roll out controls from an initial state (RolloutTrajectory analogue).
 
-    The scan carries the constraint-solver warmstart delta (MuJoCo
-    qacc_warmstart semantics): zero at t=0 reproduces a cold start exactly,
-    and each step's Newton solve then starts from the previous correction.
+    warmstart=True carries the constraint-solver warmstart delta (MuJoCo
+    qacc_warmstart semantics) through the scan; see
+    ILQRConfig.warmstart_rollouts for why the default is a cold start.
     """
     model = task.model
 
@@ -127,10 +136,20 @@ def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray) -> Trajectory:
         data = advance(model, data)
         return (data.qpos, data.qvel, warm_out), (qpos, qvel, r, warm)
 
-    warm0 = jnp.zeros((model.nv,), qpos0.dtype)
-    (qpN, qvN, _), (qps, qvs, r_all, warms) = jax.lax.scan(
-        body, (qpos0, qvel0, warm0), U
-    )
+    if warmstart:
+        warm0 = jnp.zeros((model.nv,), qpos0.dtype)
+        (qpN, qvN, _), (qps, qvs, r_all, warms) = jax.lax.scan(
+            body, (qpos0, qvel0, warm0), U
+        )
+    else:
+        def body_cold(carry, u):
+            (qp, qv, w), out = body((*carry, None), u)
+            return (qp, qv), out[:3]
+
+        (qpN, qvN), (qps, qvs, r_all) = jax.lax.scan(
+            body_cold, (qpos0, qvel0), U
+        )
+        warms = None
     qpos_traj = jnp.concatenate([qps, qpN[None]], axis=0)
     qvel_traj = jnp.concatenate([qvs, qvN[None]], axis=0)
     return Trajectory(
@@ -283,7 +302,8 @@ def backward_pass_lambda_loop(A, B, l_x, l_xx, l_u, l_uu, lamb, cfg: ILQRConfig)
 # ---------------------------------------------------------------------------
 
 
-def forward_pass(task: Task, traj: Trajectory, k, K, alphas, old_cost):
+def forward_pass(task: Task, traj: Trajectory, k, K, alphas, old_cost,
+                 warmstart: bool = False):
     """vmap line-search rollouts over alphas; pick argmin; accept if < old.
 
     Returns (new_traj, new_cost, accepted, best_alpha).
@@ -308,10 +328,20 @@ def forward_pass(task: Task, traj: Trajectory, k, K, alphas, old_cost):
             data = advance(model, data)
             return (data.qpos, data.qvel, warm_out), (qpos, qvel, u, r, warm)
 
-        warm0 = jnp.zeros((model.nv,), traj.qpos.dtype)
-        (qpN, qvN, _), (qps, qvs, us, r_all, warms) = jax.lax.scan(
-            body, (traj.qpos[0], traj.qvel[0], warm0), jnp.arange(H)
-        )
+        if warmstart:
+            warm0 = jnp.zeros((model.nv,), traj.qpos.dtype)
+            (qpN, qvN, _), (qps, qvs, us, r_all, warms) = jax.lax.scan(
+                body, (traj.qpos[0], traj.qvel[0], warm0), jnp.arange(H)
+            )
+        else:
+            def body_cold(carry, t):
+                (qp, qv, w), out = body((*carry, None), t)
+                return (qp, qv), out[:4]
+
+            (qpN, qvN), (qps, qvs, us, r_all) = jax.lax.scan(
+                body_cold, (traj.qpos[0], traj.qvel[0]), jnp.arange(H)
+            )
+            warms = None
         costs = _step_costs(task, r_all)
         new_traj = Trajectory(
             jnp.concatenate([qps, qpN[None]], axis=0),
@@ -385,7 +415,7 @@ def make_phase_fns(task: Task, cfg: ILQRConfig, H: int):
 
     @jax.jit
     def rollout_fn(qpos0, qvel0, U):
-        return rollout(task, qpos0, qvel0, U)
+        return rollout(task, qpos0, qvel0, U, cfg.warmstart_rollouts)
 
     @jax.jit
     def mask_fn(traj: Trajectory):
@@ -415,7 +445,8 @@ def make_phase_fns(task: Task, cfg: ILQRConfig, H: int):
 
     @jax.jit
     def fp_fn(traj, k, K, old_cost):
-        return forward_pass(task, traj, k, K, alphas, old_cost)
+        return forward_pass(task, traj, k, K, alphas, old_cost,
+                            cfg.warmstart_rollouts)
 
     return rollout_fn, mask_fn, adjust_mask_fn, derivs_fn, bp_fn, fp_fn
 

@@ -173,7 +173,7 @@ def make_svr_optimise(
         # masked K columns — inactive ones are zero already)
         sv_active = task.replace(sv=sv.replace(active=active))
         traj_new, new_cost, accepted, best_alpha = forward_pass(
-            sv_active, traj, k, K, alphas, old_cost
+            sv_active, traj, k, K, alphas, old_cost, cfg.warmstart_rollouts
         )
         converged = (old_cost - new_cost) / jnp.maximum(new_cost, 1e-12) \
             < cfg.eps_converge
@@ -199,7 +199,7 @@ def make_svr_optimise(
         )
 
     def optimise_svr(qpos0, qvel0, U0, key) -> SVRResult:
-        traj = rollout(task, qpos0, qvel0, U0)
+        traj = rollout(task, qpos0, qvel0, U0, cfg.warmstart_rollouts)
         initial_cost = traj.total_cost
         state = SVRState(
             traj=traj,
