@@ -57,6 +57,7 @@ def main(argv=None):
     from .config import (apply_task_config, make_task, read_general_config)
     from .solver.ilqr import ILQRConfig, optimise
 
+    gc = None
     if args.config:
         gc = read_general_config(args.config)
         args.task = gc.task
@@ -88,6 +89,8 @@ def main(argv=None):
         max_iterations=args.maxIter,
         min_iterations=args.minIter,
         deriv_mode=args.deriv_mode,
+        filtering=gc.filtering if gc else "none",
+        cost_derivs_fd=gc.costDerivsFD if gc else False,
     )
 
     mode = args.runMode

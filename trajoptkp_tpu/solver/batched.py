@@ -72,6 +72,7 @@ def make_batched_phase_optimise(task, cfg: ILQRConfig, H: int):
                 with_targets(t), tr, mask, budget, mode=cfg.deriv_mode,
                 fd_eps=cfg.fd_eps, filtering=cfg.filtering,
                 chunk_size=cfg.deriv_chunk,
+                cost_derivs_fd=cfg.cost_derivs_fd,
             )
 
         return jax.vmap(one)(traj, targets)

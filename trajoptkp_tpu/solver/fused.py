@@ -79,6 +79,7 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
         A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
             filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
+            cost_derivs_fd=cfg.cost_derivs_fd,
         )
         k, K, dJ, lamb, lambda_exit = backward_pass_lambda_loop(
             A, B, l_x, l_xx, l_u, l_uu, state.lamb, cfg

@@ -43,7 +43,7 @@ from ..keypoints.methods import (auto_adjust_mask, generate_keypoints,
                                  percentage_derivs)
 from ..state.statevector import to_tangent
 from ..tasks.base import (Task, control_limits, cost_derivatives_gn,
-                          residual_derivatives)
+                          residual_derivatives, residuals_at)
 
 
 @struct.dataclass
@@ -72,6 +72,12 @@ class ILQRConfig:
     # (push_ncl cost reduction 0.91 cold vs 0.21 warm).  The FD/AD engines
     # honour it for parity experiments when enabled.
     warmstart_rollouts: bool = struct.field(pytree_node=False, default=False)
+    # costDerivsFD (general-config flag, `Optimiser.cpp:197-215` +
+    # `KeyPointGenerator.cpp:840-954`): compute residual Jacobians r_x/r_u
+    # only at keypoint TIMES and linearly interpolate between them, instead
+    # of exactly at every step.  Residual values r still come from the
+    # rollout at every step, matching the reference's stored residuals[t].
+    cost_derivs_fd: bool = struct.field(pytree_node=False, default=False)
 
 
 class Trajectory(NamedTuple):
@@ -162,9 +168,54 @@ def rollout(task: Task, qpos0, qvel0, U: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _interp_residual_jacobians(task: Task, traj: Trajectory, mask, budget):
+    """costDerivsFD mode: r_x/r_u at keypoint times, lerped in between
+    (`Optimiser.cpp:197-215`; interpolation per `KeyPointGenerator.cpp:840-954`
+    applied time-wise to the residual Jacobians)."""
+    H = traj.ctrl.shape[0]
+    sv = task.sv
+    dtype = traj.qpos.dtype
+    any_t = jnp.any(mask, axis=1).at[0].set(True).at[H - 1].set(True)
+    time_budget = min(H, max(2, -(-budget // max(sv.ndof, 1))))
+    order = jnp.argsort(~any_t, stable=True)[:time_budget]
+    tvalid = any_t[order]
+
+    r_kp, rx_kp, ru_kp = jax.vmap(
+        lambda t: residual_derivatives(
+            task, traj.qpos[t], traj.qvel[t], traj.ctrl[t]
+        )
+    )(order)
+    nres = r_kp.shape[1]
+    rx_tab = jnp.zeros((H,) + rx_kp.shape[1:], dtype).at[order].add(
+        rx_kp * tvalid[:, None, None]
+    )
+    ru_tab = jnp.zeros((H,) + ru_kp.shape[1:], dtype).at[order].add(
+        ru_kp * tvalid[:, None, None]
+    )
+    # residual VALUES at every step come from a cheap vmapped FK pass (the
+    # reference stores residuals[t] from the rollout)
+    r_all = jax.vmap(
+        lambda qp, qv, u: residuals_at(task, qp, qv, u)
+    )(traj.qpos[:H], traj.qvel[:H], traj.ctrl)
+
+    idx = jnp.arange(H)
+    prev = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(any_t, idx, -1)
+    )
+    nxt = H - 1 - jax.lax.associative_scan(
+        jnp.maximum, jnp.where(any_t, H - 1 - idx, -1)[::-1]
+    )[::-1]
+    span = jnp.maximum(nxt - prev, 1)
+    w = ((idx - prev) / span).astype(dtype)
+    r_x = rx_tab[prev] * (1 - w)[:, None, None] + rx_tab[nxt] * w[:, None, None]
+    r_u = ru_tab[prev] * (1 - w)[:, None, None] + ru_tab[nxt] * w[:, None, None]
+    return r_all, r_x, r_u
+
+
 def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
                         mode: str = "fd", fd_eps: float = 1e-6,
-                        filtering: str = "none", chunk_size=None):
+                        filtering: str = "none", chunk_size=None,
+                        cost_derivs_fd: bool = False):
     """Keypoint A/B + interpolation + cost expansion along the trajectory.
 
     Returns (A, B, l_x, l_xx, l_u, l_uu, pct_derivs): A/B are (H, 2n, 2n) /
@@ -193,9 +244,12 @@ def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
     A, B = interpolate_derivatives(A_kp, B_kp, mask, model.nu)
     A = filter_dynamics(A, filtering)
 
-    r, r_x, r_u = jax.vmap(
-        lambda qp, qv, u: residual_derivatives(task, qp, qv, u)
-    )(traj.qpos[:H], traj.qvel[:H], traj.ctrl)
+    if cost_derivs_fd:
+        r, r_x, r_u = _interp_residual_jacobians(task, traj, mask, budget)
+    else:
+        r, r_x, r_u = jax.vmap(
+            lambda qp, qv, u: residual_derivatives(task, qp, qv, u)
+        )(traj.qpos[:H], traj.qvel[:H], traj.ctrl)
     terminal = jnp.arange(H) == H - 1
     l_x, l_xx, l_u, l_uu = jax.vmap(
         lambda rr, rx, ru, tm_: cost_derivatives_gn(task, rr, rx, ru, tm_)
@@ -435,6 +489,7 @@ def make_phase_fns(task: Task, cfg: ILQRConfig, H: int):
         return compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
             filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
+            cost_derivs_fd=cfg.cost_derivs_fd,
         )
 
     @jax.jit
@@ -513,6 +568,22 @@ def optimise(
                     adjusted_mask if adjusted_mask is not None
                     else mask_fn(traj)
                 )
+                # budget-overflow guard: jobs beyond the static budget are
+                # dropped deterministically inside jobs_from_mask — surface
+                # that instead of corrupting derivatives silently
+                budget = _deriv_budget(
+                    kp_cfg, H, task.sv.ndof, cfg.deriv_budget
+                )
+                n_kp = int(jnp.sum(mask))
+                if n_kp > budget:
+                    import warnings
+
+                    warnings.warn(
+                        f"keypoint mask has {n_kp} jobs > deriv budget "
+                        f"{budget}; surplus keypoints are dropped — raise "
+                        "ILQRConfig.deriv_budget",
+                        stacklevel=2,
+                    )
                 derivs = derivs_fn(traj, mask)
             jax.block_until_ready(derivs)
         A, B, l_x, l_xx, l_u, l_uu, pct = derivs

@@ -148,6 +148,7 @@ def make_svr_optimise(
         A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
             filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
+            cost_derivs_fd=cfg.cost_derivs_fd,
         )
         A, B, l_x, l_xx, l_u, l_uu = _mask_derivs(
             A, B, l_x, l_xx, l_u, l_uu, active
