@@ -112,3 +112,42 @@ def test_phase_batched_matches_fused():
         np.asarray(res_b.initial_cost), np.asarray(res_f.initial_cost),
         rtol=1e-9,
     )
+
+
+def test_sharded_batch_optimise_matches_single_device():
+    """Scene x job sharded fused solve (make_sharded_batch_optimise) equals
+    the unsharded vmapped fused solve — the job-axis derivative sharding must
+    be a pure re-layout of compute."""
+    import numpy as np
+
+    from trajoptkp_tpu.parallel.mesh import (make_mesh,
+                                             make_sharded_batch_optimise)
+    from trajoptkp_tpu.solver.fused import make_fused_optimise
+    from trajoptkp_tpu.solver.ilqr import ILQRConfig
+    from trajoptkp_tpu.tasks.toys import make_acrobot
+
+    task = make_acrobot()
+    task = task.replace(
+        keypoint_cfg=task.keypoint_cfg.replace(name="set_interval", min_N=2)
+    )
+    H, B = 100, 4
+    cfg = ILQRConfig(max_iterations=2, min_iterations=2, deriv_mode="ad_time")
+    mesh = make_mesh(jax.devices(), scene_axis=2)  # 2 scenes x 4 job shards
+    key = jax.random.PRNGKey(1)
+    qpB = task.qpos_start + 0.2 * jax.random.normal(key, (B, task.model.nq))
+    qvB = jnp.zeros((B, task.model.nv))
+    UB = jnp.zeros((B, H, task.model.nu))
+    tgB = jnp.tile(task.residual_targets, (B, 1))
+
+    sharded = make_sharded_batch_optimise(task, cfg, H, mesh)
+    res_s = sharded(qpB, qvB, UB, tgB)
+
+    fused_b = jax.jit(jax.vmap(make_fused_optimise(task, cfg, H)))
+    res_f = fused_b(qpB, qvB, UB)
+
+    np.testing.assert_allclose(
+        np.asarray(res_s.final_cost), np.asarray(res_f.final_cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.traj.ctrl), np.asarray(res_f.traj.ctrl), atol=1e-9
+    )

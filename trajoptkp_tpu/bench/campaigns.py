@@ -30,41 +30,48 @@ def sync_mpc_horizon_sweep(
     cfg: ILQRConfig,
     horizons: Sequence[int],
     n_replans: int = 100,
+    num_apply: int = 1,
     out_dir: Optional[str] = None,
+    seed: int = 0,
 ):
-    """Replan-time vs horizon (the BASELINE.md walker table).
+    """Replan-time vs horizon (the BASELINE.md walker table;
+    GenDataMPCHorizons, `GenTestingData.cpp:275-326`).
 
-    Per horizon: jit one fused 1-iteration replan, run `n_replans` back to
-    back from the evolving state, report mean wall per replan.
-    """
+    Per horizon: the state-ADVANCING synchronous MPC loop (replan, apply
+    `num_apply` noisy controls, shift, repeat — mpc/sync.py) runs as one
+    fused scan; mean wall per replan comes from the episode wall clock, so
+    the measurement covers real MPC behaviour, not replanning a frozen
+    state."""
+    from ..mpc.sync import make_sync_mpc
+
     rows = []
     dtype = task.model.dtype
+    key = jax.random.PRNGKey(seed)
     for H in horizons:
-        mpc_cfg = cfg.replace(max_iterations=1, min_iterations=1)
-        replan = jax.jit(make_fused_optimise(task, mpc_cfg, H))
-        qpos, qvel = task.qpos_start, task.qvel_start
-        U = jnp.zeros((H, task.model.nu), dtype)
-        res = replan(qpos, qvel, U)  # compile
+        mpc = make_sync_mpc(task, cfg, H, num_apply=num_apply)
+        run = jax.jit(lambda qp, qv, U, k: mpc(qp, qv, U, n_replans, k))
+        U0 = jnp.zeros((H, task.model.nu), dtype)
+        res = run(task.qpos_start, task.qvel_start, U0, key)  # compile
         jax.block_until_ready(res)
         t0 = time.perf_counter()
-        for _ in range(n_replans):
-            res = replan(qpos, qvel, U)
-            U = res.traj.ctrl
-            jax.block_until_ready(U)
+        res = run(task.qpos_start, task.qvel_start, U0, key)
+        jax.block_until_ready(res)
         ms = (time.perf_counter() - t0) / n_replans * 1e3
         rows.append({
             "horizon": H,
             "opt_time_ms": ms,
             "replan_rate_hz": 1e3 / ms,
+            "mean_running_cost": float(jnp.mean(res.cost_hist)),
         })
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "mpc_horizons.csv"), "w") as f:
-            f.write("horizon,opt_time_ms,replan_rate_hz\n")
+            f.write("horizon,opt_time_ms,replan_rate_hz,mean_running_cost\n")
             for r in rows:
                 f.write(
                     f"{r['horizon']},{r['opt_time_ms']:.4g},"
-                    f"{r['replan_rate_hz']:.4g}\n"
+                    f"{r['replan_rate_hz']:.4g},"
+                    f"{r['mean_running_cost']:.6g}\n"
                 )
     return rows
 

@@ -325,18 +325,36 @@ def time_keypoint_jacobians(
     time_budget: int,
     chunk_size: int = None,
     warm_traj: jnp.ndarray = None,  # (H, nv) rollout warmstart deltas
+    shard_axis: str = None,   # mesh axis name to split keypoint times over
+    num_shards: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """AD Jacobians batched over keypoint TIMES (one jacfwd per time).
 
     Column masking happens on scatter, so per-dof keypoint semantics are
     preserved exactly; compute is per-time rather than per-(time, dof).
+
+    When `shard_axis` is set (the caller runs under a shard_map / manual
+    mesh that exposes that axis name), the keypoint-time batch is split
+    into `num_shards` slices — each device computes its slice's Jacobians
+    and one psum over ICI assembles the full A/B tables.  This is the
+    job-axis parallelism of SURVEY §2.3 (the reference's FD thread pool,
+    `Optimiser.cpp:258-323`) as a collective.
     """
     n = sv.ndof
     H = qpos_traj.shape[0]
     dtype = qpos_traj.dtype
     any_t = jnp.any(mask, axis=1)
-    order = jnp.argsort(~any_t, stable=True)[:time_budget]
-    tvalid = any_t[order]
+    if shard_axis is not None and num_shards > 1:
+        per = -(-time_budget // num_shards)
+        full = jnp.argsort(~any_t, stable=True)[: per * num_shards]
+        fullv = any_t[full]
+        me = jax.lax.axis_index(shard_axis)
+        order = jax.lax.dynamic_slice_in_dim(full, me * per, per)
+        tvalid = jax.lax.dynamic_slice_in_dim(fullv, me * per, per)
+        time_budget = per
+    else:
+        order = jnp.argsort(~any_t, stable=True)[:time_budget]
+        tvalid = any_t[order]
 
     if chunk_size is None:
         # each lane carries 2n+nu tangents of step intermediates
@@ -391,6 +409,11 @@ def time_keypoint_jacobians(
         (A_kp, B_kp, touched), _ = chunk_body(init, (ts[0], vs[0]))
     else:
         (A_kp, B_kp, touched), _ = jax.lax.scan(chunk_body, init, (ts, vs))
+    if shard_axis is not None and num_shards > 1:
+        # disjoint scatters per shard -> psum is exact assembly
+        A_kp = jax.lax.psum(A_kp, shard_axis)
+        B_kp = jax.lax.psum(B_kp, shard_axis)
+        touched = jax.lax.pmax(touched, shard_axis)
     return A_kp, B_kp, touched
 
 
@@ -422,6 +445,8 @@ def keypoint_jacobians(
     mode: str = "fd",
     chunk_size: int = None,
     warm_traj: jnp.ndarray = None,  # (H, nv) rollout warmstart deltas
+    shard_axis: str = None,   # mesh axis name to split the job batch over
+    num_shards: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute A/B columns at all keypoint jobs in one batched launch.
 
@@ -442,6 +467,22 @@ def keypoint_jacobians(
     col_fn = _batched_fd_columns if mode == "fd" else _batched_ad_columns
 
     budget = jobs.budget
+    if shard_axis is not None and num_shards > 1:
+        # split the flat job batch across the mesh "job" axis (the FD
+        # thread pool of Optimiser.cpp:258-323 as a collective); each shard
+        # scatters into zeroed tables, combined by one psum below
+        per = -(-budget // num_shards)
+        pad0 = per * num_shards - budget
+        me = jax.lax.axis_index(shard_axis)
+        jt_f = jnp.concatenate([jobs.t, jnp.zeros((pad0,), jobs.t.dtype)])
+        jd_f = jnp.concatenate([jobs.d, jnp.zeros((pad0,), jobs.d.dtype)])
+        jv_f = jnp.concatenate([jobs.valid, jnp.zeros((pad0,), bool)])
+        jobs = DerivJobs(
+            t=jax.lax.dynamic_slice_in_dim(jt_f, me * per, per),
+            d=jax.lax.dynamic_slice_in_dim(jd_f, me * per, per),
+            valid=jax.lax.dynamic_slice_in_dim(jv_f, me * per, per),
+        )
+        budget = per
     if chunk_size is None:
         chunk_size = default_chunk_size(model)
     chunk = min(chunk_size, budget)
@@ -483,4 +524,9 @@ def keypoint_jacobians(
         (A_kp, B_kp, touched), _ = jax.lax.scan(
             chunk_body, init, (jt, jd, jv)
         )
+    if shard_axis is not None and num_shards > 1:
+        # disjoint scatters per shard -> psum is exact assembly
+        A_kp = jax.lax.psum(A_kp, shard_axis)
+        B_kp = jax.lax.psum(B_kp, shard_axis)
+        touched = jax.lax.pmax(touched, shard_axis)
     return A_kp, B_kp, touched

@@ -362,13 +362,7 @@ def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Dat
         return data.replace(qfrc_constraint=jnp.zeros_like(qfrc_smooth))
 
     M = data.qM
-    from ..utils.linalg import chol_solve_unrolled, chol_unrolled
-
-    if model.nv <= 20:
-        Lm = chol_unrolled(M)
-        a0 = chol_solve_unrolled(Lm, qfrc_smooth)  # qacc_smooth
-    else:
-        a0 = sym_solve(M, qfrc_smooth)
+    a0 = sym_solve(M, qfrc_smooth)  # qacc_smooth (custom-JVP solve)
 
     J = rows.J * rows.active[:, None]
     aref = rows.aref

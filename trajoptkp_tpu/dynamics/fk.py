@@ -128,8 +128,12 @@ def _scan_chain(model: Model, qpos, xp0, xq0, bodies, body_joints):
         cdof = jnp.where(slide > 0, cdof_s, cdof_h)
         return (xp_n, xq_n), (xp_n, xq_n, cdof)
 
+    # unroll: chains are short (<=10 links); a rolled scan inside the step
+    # function costs a nested-loop dispatch per link, which dominates the
+    # per-step latency of rollout/line-search scans on TPU
     (xpf, xqf), (xps, xqs, cdofs) = jax.lax.scan(
-        body_fn, (xp0, xq0), (b_pos, b_quat, j_pos, j_axis, q, ref, is_slide)
+        body_fn, (xp0, xq0), (b_pos, b_quat, j_pos, j_axis, q, ref, is_slide),
+        unroll=True,
     )
     return xps, xqs, cdofs, xpf, xqf
 

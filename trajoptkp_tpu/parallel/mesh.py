@@ -44,6 +44,47 @@ def make_mesh(
     return Mesh(arr, axis_names=("scene", "job"))
 
 
+def make_sharded_batch_optimise(task: Task, cfg: ILQRConfig, H: int,
+                                mesh: Mesh):
+    """Scene x job sharded optimiser: scenes over the "scene" axis AND each
+    solve's derivative jobs over the "job" axis (SURVEY §2.3 — the axis that
+    makes ONE solve faster with more chips).
+
+    One shard_map over the whole mesh: scene args are split over "scene";
+    inside, the fused solver's derivative engine slices its keypoint-time /
+    job batch by jax.lax.axis_index("job") and psums the A/B assembly over
+    ICI.  All non-derivative phases run replicated over "job" (identical
+    inputs -> identical results), so out_specs declare job-replication.
+
+    Returns optimise_batch(qpos0 (B,nq), qvel0, U0, targets) with B a
+    multiple of the scene-axis size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_job = mesh.shape["job"]
+
+    def one(qpos0, qvel0, U0, targets):
+        t = task.replace(residual_targets=targets)
+        return make_fused_optimise(
+            t, cfg, H, shard_axis="job" if n_job > 1 else None,
+            num_shards=n_job,
+        )(qpos0, qvel0, U0)
+
+    local = jax.vmap(one)
+
+    @jax.jit
+    def optimise_batch(qpos0, qvel0, U0, targets):
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("scene"), P("scene"), P("scene"), P("scene")),
+            out_specs=P("scene"),
+            check_rep=False,
+        )(qpos0, qvel0, U0, targets)
+
+    return optimise_batch
+
+
 def make_batch_optimise(task: Task, cfg: ILQRConfig, H: int, mesh: Mesh):
     """Sharded multi-scene optimiser: (B, ...) scene batch over the mesh.
 

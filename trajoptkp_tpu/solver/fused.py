@@ -52,13 +52,18 @@ class FusedResult(NamedTuple):
         return 1.0 - self.final_cost / jnp.maximum(self.initial_cost, 1e-12)
 
 
-def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
+def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int,
+                        shard_axis: str = None, num_shards: int = 1):
     """Build optimise(qpos0, qvel0, U0) -> FusedResult, one XLA dispatch.
 
     Semantics identical to ilqr.optimise (iLQR::Optimise,
     `/root/reference/src/Optimiser/iLQR.cpp:269-410`) except derivatives are
     recomputed after rejected steps (identical values — pure function of the
     unchanged nominal), trading a little compute for a static loop structure.
+
+    shard_axis/num_shards: shard ONE solve's derivative jobs over a mesh
+    axis (caller must run this under shard_map exposing the axis —
+    parallel/mesh.make_sharded_batch_optimise does).
     """
     model, sv = task.model, task.sv
     kp_cfg = task.keypoint_cfg
@@ -80,6 +85,7 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int):
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
             filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
             cost_derivs_fd=cfg.cost_derivs_fd,
+            shard_axis=shard_axis, num_shards=num_shards,
         )
         k, K, dJ, lamb, lambda_exit = backward_pass_lambda_loop(
             A, B, l_x, l_xx, l_u, l_uu, state.lamb, cfg

@@ -215,11 +215,16 @@ def _interp_residual_jacobians(task: Task, traj: Trajectory, mask, budget):
 def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
                         mode: str = "fd", fd_eps: float = 1e-6,
                         filtering: str = "none", chunk_size=None,
-                        cost_derivs_fd: bool = False):
+                        cost_derivs_fd: bool = False,
+                        shard_axis: str = None, num_shards: int = 1):
     """Keypoint A/B + interpolation + cost expansion along the trajectory.
 
     Returns (A, B, l_x, l_xx, l_u, l_uu, pct_derivs): A/B are (H, 2n, 2n) /
     (H, 2n, nu); cost terms are per-step arrays over t = 0..H-1.
+
+    shard_axis/num_shards: split the derivative job batch over a mesh axis
+    (must be called under shard_map exposing that axis) — SURVEY §2.3's
+    FD-column parallelism as ICI collectives.
     """
     model, sv = task.model, task.sv
     H = traj.ctrl.shape[0]
@@ -233,6 +238,7 @@ def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
             model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, mask,
             time_budget=-(-budget // max(sv.ndof, 1)),
             chunk_size=chunk_size, warm_traj=traj.warm,
+            shard_axis=shard_axis, num_shards=num_shards,
         )
     else:
         jobs = jobs_from_mask(mask, budget)
@@ -240,6 +246,7 @@ def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
             model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, jobs,
             eps=fd_eps, mode=mode, chunk_size=chunk_size,
             warm_traj=traj.warm,
+            shard_axis=shard_axis, num_shards=num_shards,
         )
     A, B = interpolate_derivatives(A_kp, B_kp, mask, model.nu)
     A = filter_dynamics(A, filtering)
