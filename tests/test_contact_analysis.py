@@ -12,6 +12,10 @@ from trajoptkp_tpu.bench.campaigns import (analyse_toy_contact,
 from trajoptkp_tpu.config.loader import make_task
 from trajoptkp_tpu.solver import ilqr as il
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration module (README: test tiers)
+
 
 def test_smooth_contact_mask_clears_window():
     mask = jnp.ones((20, 3), dtype=bool)

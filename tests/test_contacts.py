@@ -13,6 +13,10 @@ import pytest
 
 from trajoptkp_tpu.dynamics import forward, load_mjcf_string, make_data, step
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration module (README: test tiers)
+
 SPHERE_DROP = """
 <mujoco><option timestep="0.002"/><worldbody>
 <geom name="floor" type="plane" size="2 2 .1"/>

@@ -146,6 +146,7 @@ PISTON_CONTACT = """
 <actuator><motor joint="slide" gear="1"/></actuator></mujoco>"""
 
 
+@pytest.mark.slow
 def test_jacobians_vs_mujoco_oracle_contact_state():
     """Contact-ACTIVE state oracle (VERDICT round-1 gap: derivative parity
     was only proven on smooth systems).  mjd_transitionFD differences
@@ -190,14 +191,23 @@ def test_jacobians_vs_mujoco_oracle_contact_state():
     # contact rows carry O(100) entries; 5e-3 relative-to-peak tolerance
     # bounds solver-model differences (pyramidal-facet placement etc.)
     np.testing.assert_allclose(
-        np.asarray(A_fd), A_mj, atol=5e-3 * scale, err_msg="A (FD) vs MuJoCo"
+        np.asarray(A_fd)[0], A_mj, atol=5e-3 * scale, err_msg="A (FD) vs MuJoCo"
     )
     np.testing.assert_allclose(
-        np.asarray(B_fd), B_mj,
+        np.asarray(B_fd)[0], B_mj,
         atol=5e-3 * max(1.0, np.max(np.abs(B_mj))), err_msg="B (FD) vs MuJoCo"
     )
-    # implicit-diff AD mode must agree with FD of our own solver tightly
+    # the implicit-diff AD mode must match the MuJoCo oracle independently
     np.testing.assert_allclose(
-        np.asarray(A_ad), np.asarray(A_fd), atol=2e-4,
+        np.asarray(A_ad)[0], A_mj, atol=5e-3 * scale,
+        err_msg="A (implicit AD) vs MuJoCo",
+    )
+    # AD vs our own FD: agreement is loose by construction at this state —
+    # one contact sits 6e-5 deep, so the ±1e-6 FD perturbation flips the
+    # active set on some columns and FD measures a one-sided subgradient
+    # while the implicit derivative is taken at the fixed converged active
+    # set.  Observed max gap 0.017 on O(300)-peak entries (~5e-5 relative).
+    np.testing.assert_allclose(
+        np.asarray(A_ad), np.asarray(A_fd), atol=5e-2,
         err_msg="implicit AD vs own FD at contact",
     )

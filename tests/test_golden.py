@@ -11,6 +11,10 @@ import numpy as np
 from trajoptkp_tpu.solver.ilqr import ILQRConfig, optimise
 from trajoptkp_tpu.tasks.toys import make_acrobot
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration module (README: test tiers)
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 

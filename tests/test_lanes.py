@@ -1,0 +1,119 @@
+"""Lane-last engine parity: register-style step vs the generic engine.
+
+The lane engine (dynamics/lanes.py) re-implements the smooth pipeline with
+the batch axis minormost; these tests pin it to the generic step.py path
+(itself oracle-exact vs MuJoCo on smooth systems, tests/test_dynamics_oracle)
+to f64 round-off."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajoptkp_tpu.dynamics import step_state
+from trajoptkp_tpu.dynamics.lanes import build_smooth_step, lanes_supported
+from trajoptkp_tpu.tasks.toys import make_acrobot, make_pentabot
+
+
+def test_lane_gate_rejects_contact_models():
+    """Pentabot declares link self-collision pairs -> outside lane scope."""
+    task = make_pentabot(dtype=jnp.float64)
+    assert not lanes_supported(task.model)
+
+
+@pytest.mark.parametrize("make", [make_acrobot])
+def test_lane_step_matches_generic(make):
+    task = make(dtype=jnp.float64)
+    model = task.model
+    assert lanes_supported(model)
+    step_l = build_smooth_step(model)
+
+    rng = np.random.default_rng(0)
+    L = 16
+    qp = jnp.asarray(rng.standard_normal((model.nq, L)))
+    qv = jnp.asarray(0.5 * rng.standard_normal((model.nv, L)))
+    ct = jnp.asarray(2.0 * rng.standard_normal((model.nu, L)))
+
+    qp2, qv2 = jax.jit(step_l)(qp, qv, ct)
+
+    ref = jax.vmap(
+        lambda a, b, c: step_state(model, a, b, c), in_axes=1, out_axes=1
+    )(qp, qv, ct)
+    np.testing.assert_allclose(np.asarray(qp2), np.asarray(ref[0]),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qv2), np.asarray(ref[1]),
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_lane_step_matches_generic_with_limits():
+    """Reaching (panda, 7 limited hinges): the lane engine's joint-limit
+    projected-Newton solve must reproduce the generic constraint path."""
+    from trajoptkp_tpu.tasks.reaching import make_reaching
+
+    task = make_reaching(dtype=jnp.float64)
+    model = task.model
+    assert lanes_supported(model)
+    step_l = build_smooth_step(model)
+
+    rng = np.random.default_rng(2)
+    L = 8
+    lo = np.asarray(model.jnt_range)[:, 0]
+    hi = np.asarray(model.jnt_range)[:, 1]
+    # half the lanes near the limits (constraints active), half interior
+    qp = np.empty((model.nq, L))
+    qp[:, : L // 2] = (lo + 0.02 * (hi - lo))[:, None] + 0.01 * \
+        rng.standard_normal((model.nq, L // 2))
+    qp[:, L // 2 :] = (0.5 * (lo + hi))[:, None] + 0.3 * \
+        rng.standard_normal((model.nq, L - L // 2))
+    qv = 0.5 * rng.standard_normal((model.nv, L))
+    ct = 2.0 * rng.standard_normal((model.nu, L))
+
+    qp2, qv2 = jax.jit(step_l)(
+        jnp.asarray(qp), jnp.asarray(qv), jnp.asarray(ct)
+    )
+    ref = jax.vmap(
+        lambda a, b, c: step_state(model, a, b, c), in_axes=1, out_axes=1
+    )(jnp.asarray(qp), jnp.asarray(qv), jnp.asarray(ct))
+    np.testing.assert_allclose(np.asarray(qp2), np.asarray(ref[0]),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(qv2), np.asarray(ref[1]),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_lane_step_jacobian_matches_ad():
+    """jacfwd through the lane step == the generic engine's AD Jacobian."""
+    from trajoptkp_tpu.derivs import jobs_from_mask, keypoint_jacobians
+    from trajoptkp_tpu.state import full_state_vector
+
+    task = make_acrobot(dtype=jnp.float64)
+    model = task.model
+    sv = full_state_vector(model)
+    step_l = build_smooth_step(model)
+    rng = np.random.default_rng(1)
+    qp = jnp.asarray(rng.standard_normal((model.nq,)))
+    qv = jnp.asarray(0.5 * rng.standard_normal((model.nv,)))
+    ct = jnp.asarray(rng.standard_normal((model.nu,)))
+
+    n = sv.ndof
+
+    def g(z):
+        dq = z[:n]
+        dv = z[n : 2 * n]
+        du = z[2 * n :]
+        qp2, qv2 = step_l(
+            (qp + dq)[:, None], (qv + dv)[:, None], (ct + du)[:, None]
+        )
+        return jnp.concatenate([qp2[:, 0], qv2[:, 0]])
+
+    J = jax.jacfwd(g)(jnp.zeros((2 * n + model.nu,)))
+
+    mask = jnp.ones((1, n), dtype=bool)
+    jobs = jobs_from_mask(mask, n)
+    A, B, _ = keypoint_jacobians(
+        model, sv, qp[None], qv[None], ct[None], jobs, mode="ad"
+    )
+    np.testing.assert_allclose(np.asarray(J[:, : 2 * n]), np.asarray(A[0]),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(J[:, 2 * n :]), np.asarray(B[0]),
+                               rtol=1e-9, atol=1e-11)

@@ -14,6 +14,10 @@ from trajoptkp_tpu.solver.fused import make_fused_optimise
 from trajoptkp_tpu.solver.ilqr import ILQRConfig
 from trajoptkp_tpu.tasks.toys import make_acrobot
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration module (README: test tiers)
+
 
 @pytest.fixture(scope="module")
 def task():

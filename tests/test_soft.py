@@ -25,6 +25,10 @@ from trajoptkp_tpu.keypoints.methods import KeypointConfig
 from trajoptkp_tpu.state.statevector import state_vector_from_names
 from trajoptkp_tpu.tasks.base import Task
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration module (README: test tiers)
+
 SHAPE = (2, 2, 2)
 
 

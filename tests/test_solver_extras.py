@@ -18,6 +18,10 @@ from trajoptkp_tpu.solver.ilqr import ILQRConfig, optimise
 from trajoptkp_tpu.solver.ilqr_svr import SVRConfig, make_svr_optimise
 from trajoptkp_tpu.tasks.toys import make_acrobot
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration module (README: test tiers)
+
 
 @pytest.fixture(scope="module")
 def task():

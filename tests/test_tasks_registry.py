@@ -8,6 +8,10 @@ import pytest
 from trajoptkp_tpu.config import available_tasks, make_task
 from trajoptkp_tpu.solver import ilqr as il
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy integration module (README: test tiers)
+
 ALL_TASKS = available_tasks()
 # soft-body scenes (100+ dofs, panda + lattice) compile for minutes on the
 # CPU test platform; they have dedicated small-scale coverage in test_soft.py

@@ -45,6 +45,12 @@ def build_parser():
         "columns on f32/TPU, where eps=1e-6 FD is below float precision",
     )
     p.add_argument("--num_scenes", type=int, default=100)
+    p.add_argument(
+        "--keypoint",
+        help="keypoint-method override, reference naming "
+        "(GenTestingData.cpp:869-892): SI_n / AJ_a_b / AA_a_b / VC_a_b / "
+        "IE_a_b, e.g. SI_5 or AJ_5_100",
+    )
     p.add_argument("--out_dir", default="TestingData")
     p.add_argument("--scenes_dir", help="TestTasks-format scene CSV directory")
     p.add_argument("--f32", action="store_true", help="use float32 (TPU)")
@@ -84,6 +90,13 @@ def main(argv=None):
             args.deriv_mode = "fd"
     if args.task_config:
         task = apply_task_config(task, args.task_config)
+    if args.keypoint:
+        task = task.replace(
+            keypoint_cfg=_parse_keypoint_name(task.keypoint_cfg, args.keypoint)
+        )
+        if args.deriv_mode == "ad" and \
+                task.keypoint_cfg.name == "set_interval":
+            args.deriv_mode = "ad_time"
     H = args.horizon or task.openloop_horizon
     cfg = ILQRConfig(
         max_iterations=args.maxIter,
@@ -177,14 +190,30 @@ def main(argv=None):
         raise SystemExit(f"unknown runMode: {mode}")
 
 
-def _init_controls(task, H):
-    """CreateInitOptimisationControls dispatch: pushing tasks use the
-    IK servo (`PushBaseClass.cpp`), others default to zeros
-    (`ModelTranslator.cpp:1783-1797`)."""
-    if task.name.startswith("push"):
-        from .tasks.pushing import jacobian_ee_init_controls
+def _parse_keypoint_name(kp_cfg, name: str):
+    """SI_n / AJ_a_b / AA_a_b / VC_a_b / IE_a_b -> KeypointConfig override
+    (inverse of bench.harness.method_name, reference naming per
+    `GenTestingData.cpp:869-892`); thresholds keep the task's YAML values."""
+    parts = name.split("_")
+    kinds = {
+        "SI": "set_interval", "AJ": "adaptive_jerk", "AA": "adaptive_accel",
+        "VC": "velocity_change", "IE": "iterative_error",
+    }
+    kind = kinds[parts[0]]
+    if parts[0] == "SI":
+        return kp_cfg.replace(name=kind, min_N=int(parts[1]))
+    return kp_cfg.replace(
+        name=kind, min_N=int(parts[1]), max_N=int(parts[2])
+    )
 
-        return jax.jit(lambda: jacobian_ee_init_controls(task, H))()
+
+def _init_controls(task, H):
+    """CreateInitOptimisationControls dispatch via the Task hook
+    (`ModelTranslator.h:166`; push/sweep/place tasks install the
+    PushBaseClass EE servo, others default to zeros,
+    `ModelTranslator.cpp:1783-1797`)."""
+    if task.init_controls_fn is not None:
+        return jax.jit(lambda: task.init_controls_fn(task, H))()
     return jnp.zeros((H, task.model.nu), task.model.dtype)
 
 
@@ -247,13 +276,13 @@ def _openloop_campaign(task, cfg, H, args):
 
 
 def _batch_init_controls(task, H, qpos, qvel, targets):
-    """Per-scene init controls (CreateInitOptimisationControls per trial)."""
+    """Per-scene init controls (CreateInitOptimisationControls per trial,
+    via the Task hook — `GenTestingData.cpp:169-196` rebuilds them per
+    loaded scene)."""
     dtype = task.model.dtype
-    if task.name.startswith("push"):
-        from .tasks.pushing import jacobian_ee_init_controls
-
+    if task.init_controls_fn is not None:
         run = jax.jit(jax.vmap(
-            lambda qp, qv, tg: jacobian_ee_init_controls(task, H, qp, qv, tg)
+            lambda qp, qv, tg: task.init_controls_fn(task, H, qp, qv, tg)
         ))
         return np.asarray(run(
             jnp.asarray(qpos, dtype), jnp.asarray(qvel, dtype),

@@ -80,7 +80,7 @@ def openloop_campaign(
     out_dir: Optional[str] = None,
     noise_key: Optional[jax.Array] = None,
     controls_noise: float = 0.0,
-    batch_mode: str = "fused",
+    batch_mode: str = "auto",
     optimiser: str = "iLQR",
 ) -> List[TrialRow]:
     """Run an N-scene open-loop campaign (GenDataOpenloopOptimisation).
@@ -91,13 +91,29 @@ def openloop_campaign(
     Optional initial-control noise mirrors `controls_noise` in the reference
     summary.yaml campaigns.
 
-    batch_mode: "fused" = vmap the whole fused solve (fastest); "phases" =
-    vmap each phase in a host loop (sidesteps an XLA TPU compiler crash on
-    panda-scale fused programs — see solver/batched.py).
+    batch_mode:
+      "lane"   = lane-last batched solver (solver/lanes.py) — fastest, smooth
+                 scalar-joint tasks with set_interval keypoints only;
+      "fused"  = vmap the whole fused solve;
+      "phases" = vmap each phase in a host loop (sidesteps an XLA TPU
+                 compiler crash on panda-scale fused programs, solver/batched.py);
+      "auto"   = lane when supported, else fused for contact-free small
+                 models, else phases.
     """
     cfg = cfg or ILQRConfig()
     N, H = U_init.shape[0], U_init.shape[1]
     dtype = task.model.dtype
+    if batch_mode == "auto" and optimiser == "iLQR":
+        from ..solver.lanes import lane_solver_supported
+
+        if lane_solver_supported(task):
+            batch_mode = "lane"
+        elif not task.model.contact_pairs and task.model.nv <= 8:
+            batch_mode = "fused"
+        else:
+            batch_mode = "phases"
+    elif batch_mode == "auto":
+        batch_mode = "fused"
 
     if controls_noise > 0.0:
         noise_key = noise_key if noise_key is not None else jax.random.PRNGKey(0)
@@ -128,10 +144,18 @@ def openloop_campaign(
 
         run_svr = jax.jit(jax.vmap(one_svr))
         batched = lambda qp, qv, U, tg: run_svr(qp, qv, U, tg, keys)
+    elif batch_mode == "lane":
+        from ..solver.lanes import make_lane_batch_optimise
+
+        # lane solver runs every lane for the full budget
+        run = jax.jit(make_lane_batch_optimise(
+            task, cfg.replace(min_iterations=cfg.max_iterations), H
+        ))
+        batched = lambda qp, qv, U, tg: run(qp, qv, U, tg)
     elif batch_mode == "phases":
         from ..solver.batched import make_batched_phase_optimise
 
-        run = make_batched_phase_optimise(task, cfg, H)
+        run = make_batched_phase_optimise(task, cfg, H, batch_size=N)
         batched = lambda qp, qv, U, tg: run(qp, qv, U, tg)
     else:
         def one(qpos0, qvel0, U0, targets):

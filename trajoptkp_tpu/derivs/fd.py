@@ -344,10 +344,19 @@ def time_keypoint_jacobians(
     H = qpos_traj.shape[0]
     dtype = qpos_traj.dtype
     any_t = jnp.any(mask, axis=1)
+    time_budget = min(time_budget, H)  # at most H distinct keypoint times
     if shard_axis is not None and num_shards > 1:
         per = -(-time_budget // num_shards)
+        # argsort yields at most H indices; pad with (t=0, valid=False)
+        # sentinels up to per*num_shards so every shard's dynamic_slice is
+        # disjoint — an unpadded short array clamps the last shard's start
+        # index, overlapping slices and double-counting times in the psum
         full = jnp.argsort(~any_t, stable=True)[: per * num_shards]
         fullv = any_t[full]
+        pad0 = per * num_shards - full.shape[0]
+        if pad0 > 0:
+            full = jnp.concatenate([full, jnp.zeros((pad0,), full.dtype)])
+            fullv = jnp.concatenate([fullv, jnp.zeros((pad0,), bool)])
         me = jax.lax.axis_index(shard_axis)
         order = jax.lax.dynamic_slice_in_dim(full, me * per, per)
         tvalid = jax.lax.dynamic_slice_in_dim(fullv, me * per, per)

@@ -126,41 +126,50 @@ def box_box_sat(xp1, xm1, s1, xp2, xm2, s2):
     # clip against the 4 side planes of the reference face
     ru = (ref_ax + 1) % 3
     rv = (ref_ax + 2) % 3
-    MAXV = 8
+
+    def next_valid(valid):
+        """For each slot i, the index of the first valid slot strictly after
+        i (cyclically).  Clipping leaves valid vertices non-contiguous in
+        slot order, so the polygon edge from a valid vertex goes to the NEXT
+        VALID vertex, not the next slot — pairing consecutive slots loses
+        every edge that spans an invalid gap (including the ring-closing
+        edge), which silently drops intersection points from the manifold."""
+        N = valid.shape[0]
+        idx = jnp.arange(N)
+        fwd = (idx[None, :] - idx[:, None] - 1) % N  # ring distance i -> j
+        key = jnp.where(valid[None, :], fwd, N + 1)
+        return jnp.argmin(key, axis=1)
 
     def clip(poly, valid, axis_idx, sign):
-        """Sutherland-Hodgman step vs plane sign*x[axis] <= s_r[axis]."""
+        """Sutherland-Hodgman step vs plane sign*x[axis] <= s_r[axis].
+        Emits (2N slots): [p0, inter0, p1, inter1, ...] where inter_i lies on
+        the ring edge (i -> next_valid(i)); valid subsequence stays in ring
+        order."""
         nverts = poly.shape[0]
-        out_pts = []
-        out_val = []
         limit = s_r[axis_idx]
-        for a_i in range(nverts):
-            b_i = (a_i + 1) % nverts
-            pa, pb = poly[a_i], poly[b_i]
-            va, vb = valid[a_i], valid[b_i]
-            da = sign * pa[axis_idx] - limit   # > 0 means outside
-            db = sign * pb[axis_idx] - limit
-            inside_a = da <= 0
-            inside_b = db <= 0
-            # emit pa if inside
-            out_pts.append(pa)
-            out_val.append(va & inside_a)
-            # emit intersection if edge crosses
-            frac = da / jnp.where(jnp.abs(da - db) < 1e-12, 1e-12, da - db)
-            inter = pa + jnp.clip(frac, 0.0, 1.0) * (pb - pa)
-            out_pts.append(inter)
-            out_val.append(va & vb & (inside_a ^ inside_b))
-        return jnp.stack(out_pts), jnp.stack(out_val)
-
-    # two clip rounds double the vertex count 4 -> 8 -> 16; compress to 8 by
-    # keeping valid ones first
-    poly, valid = clip(poly, valid, ru, 1.0)
-    poly2, valid2 = clip(poly, valid, ru, -1.0)
+        nv = next_valid(valid)
+        pb = poly[nv]
+        vb = valid[nv]
+        da = sign * poly[:, axis_idx] - limit   # > 0 means outside
+        db = sign * pb[:, axis_idx] - limit
+        inside_a = da <= 0
+        inside_b = db <= 0
+        denom = da - db
+        frac = da / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        inter = poly + jnp.clip(frac, 0.0, 1.0)[:, None] * (pb - poly)
+        out_pts = jnp.stack([poly, inter], axis=1).reshape(2 * nverts, 3)
+        out_val = jnp.stack(
+            [valid & inside_a, valid & vb & (inside_a ^ inside_b)], axis=1
+        ).reshape(2 * nverts)
+        return out_pts, out_val
 
     def compress(poly, valid, keep):
         order = jnp.argsort(~valid, stable=True)[:keep]
         return poly[order], valid[order]
 
+    # 4 planes: vertex count grows by at most 1 per plane (convex polygon),
+    # so compressing to 8 slots after each round never drops a valid vertex
+    poly2, valid2 = clip(*clip(poly, valid, ru, 1.0), ru, -1.0)
     poly2, valid2 = compress(poly2, valid2, 8)
     poly3, valid3 = clip(poly2, valid2, rv, 1.0)
     poly3, valid3 = compress(poly3, valid3, 8)

@@ -349,9 +349,10 @@ def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Dat
     ``data.warmstart`` is set it holds the previous step's constraint
     correction delta (qacc - qacc_smooth); Newton starts from
     x0 = qacc_smooth + delta and runs fewer iterations (consecutive rollout
-    steps are close, so 4 warm iterations match 8 cold ones well inside the
-    soft-constraint tolerance).  A zero delta reproduces the cold start
-    exactly, so scans can initialise the carry with zeros.
+    steps are close, so 5 warm iterations (_NEWTON_ITERS_WARM) match 8 cold
+    ones well inside the soft-constraint tolerance; 4 visibly under-resolves
+    impact transients).  A zero delta reproduces the cold start exactly, so
+    scans can initialise the carry with zeros.
 
     Fills qfrc_constraint, qacc (= the Newton solution — the exact
     constrained acceleration, no extra solve), and the new warmstart delta.

@@ -38,11 +38,17 @@ class BatchedResult(NamedTuple):
         return 1.0 - self.final_cost / jnp.maximum(self.initial_cost, 1e-12)
 
 
-def make_batched_phase_optimise(task, cfg: ILQRConfig, H: int):
+def make_batched_phase_optimise(task, cfg: ILQRConfig, H: int,
+                                batch_size: int = None):
     """Build run(qposB, qvelB, UB, targetsB) -> BatchedResult.
 
     Each phase is a separately-jitted vmapped program; the iteration loop
     runs on host (cfg.max_iterations fixed trips).
+
+    batch_size (when known): the derivative chunk's HBM budget is per-SOLVE
+    (default_chunk_size), but the chunk scan runs inside a vmap over scenes —
+    divide the chunk by the batch so the whole batched chunk stays within
+    budget (a 100-scene panda campaign OOMs 16 GB otherwise).
     """
     model, sv = task.model, task.sv
     dtype = model.dtype
@@ -51,6 +57,12 @@ def make_batched_phase_optimise(task, cfg: ILQRConfig, H: int):
     alphas = default_alphas(cfg.num_parallel_rollouts, dtype)
     sv_idx = jnp.array(sv.order)
     dt = model.timestep
+    if cfg.deriv_chunk is None and batch_size:
+        from ..derivs.fd import default_chunk_size
+
+        cfg = cfg.replace(
+            deriv_chunk=max(8, default_chunk_size(model) // batch_size)
+        )
 
     def with_targets(targets):
         return task.replace(residual_targets=targets)

@@ -175,9 +175,18 @@ def _interp_residual_jacobians(task: Task, traj: Trajectory, mask, budget):
     H = traj.ctrl.shape[0]
     sv = task.sv
     dtype = traj.qpos.dtype
+    idx = jnp.arange(H)
     any_t = jnp.any(mask, axis=1).at[0].set(True).at[H - 1].set(True)
     time_budget = min(H, max(2, -(-budget // max(sv.ndof, 1))))
-    order = jnp.argsort(~any_t, stable=True)[:time_budget]
+    # the budget is a per-dof bound but any_t is the UNION of per-dof
+    # keypoint times, which adaptive methods can push past it.  Select the
+    # endpoints FIRST (they anchor the interpolation and carry the terminal
+    # cost gradient), then keypoint times in order; overflow times are
+    # dropped from the table and interpolated over — prev/nxt below index
+    # only times actually computed, never zero-filled slots.
+    forced = (idx == 0) | (idx == H - 1)
+    key = jnp.where(forced, 0, jnp.where(any_t, 1, 2))
+    order = jnp.argsort(key, stable=True)[:time_budget]
     tvalid = any_t[order]
 
     r_kp, rx_kp, ru_kp = jax.vmap(
@@ -198,12 +207,14 @@ def _interp_residual_jacobians(task: Task, traj: Trajectory, mask, budget):
         lambda qp, qv, u: residuals_at(task, qp, qv, u)
     )(traj.qpos[:H], traj.qvel[:H], traj.ctrl)
 
-    idx = jnp.arange(H)
+    # interpolate between times PRESENT in the table (order ∩ valid), not
+    # all keypoint times — overflow times have no rx/ru entries
+    present = jnp.zeros((H,), bool).at[order].set(tvalid)
     prev = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(any_t, idx, -1)
+        jnp.maximum, jnp.where(present, idx, -1)
     )
     nxt = H - 1 - jax.lax.associative_scan(
-        jnp.maximum, jnp.where(any_t, H - 1 - idx, -1)[::-1]
+        jnp.maximum, jnp.where(present, H - 1 - idx, -1)[::-1]
     )[::-1]
     span = jnp.maximum(nxt - prev, 1)
     w = ((idx - prev) / span).astype(dtype)

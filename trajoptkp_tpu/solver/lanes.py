@@ -1,0 +1,506 @@
+"""Lane-last batched iLQR: the TPU throughput solver for smooth tasks.
+
+Companion to dynamics/lanes.py (see its module docstring for the layout
+argument): the ENTIRE optimisation — rollout, set-interval keypoint
+Jacobians, interpolation, Riccati backward pass with per-lane lambda
+schedule, batched line search, iteration loop — runs with the scene batch B
+as the MINORMOST axis of every array, unrolling all small-matrix algebra
+(Q blocks, Cholesky) into elementwise register arithmetic over (B,) lanes.
+
+Algorithm semantics match solver/batched.py (iLQR::Optimise with
+min_iterations == max_iterations, per-lane accept/reject + lambda re-raise,
+`/root/reference/src/Optimiser/iLQR.cpp:269-531`); numerics match to FP
+reassociation (tests/test_lanes_solver.py pins lane-solver cost reductions
+to the generic fused solver).
+
+Scope: smooth scalar-joint models (lanes_supported) with a full state vector
+and residual functions that read only qpos/qvel/ctrl slices (joint-space
+tasks: acrobot, pentabot-class chains, reaching).  set_interval keypoints
+(the SI_n baseline rows); other methods fall back to the generic solvers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dynamics.lanes import build_smooth_step, lanes_supported
+from ..dynamics.model import Data
+from ..tasks.base import Task, control_limits
+from .ilqr import ILQRConfig, default_alphas
+
+
+class LaneBatchResult(NamedTuple):
+    ctrl: jnp.ndarray            # (B, H, nu) optimised controls
+    initial_cost: jnp.ndarray    # (B,)
+    final_cost: jnp.ndarray      # (B,)
+    num_iterations: jnp.ndarray  # (B,)
+    pct_derivs: jnp.ndarray      # (B,)
+
+    @property
+    def cost_reduction(self):
+        return 1.0 - self.final_cost / jnp.maximum(self.initial_cost, 1e-12)
+
+
+def lane_solver_supported(task: Task) -> bool:
+    """Lane solver covers this task: smooth scalar model, identity state
+    vector, set_interval keypoints, lane-safe residual function."""
+    model, sv = task.model, task.sv
+    if not lanes_supported(model):
+        return False
+    if list(sv.order) != list(range(model.nv)):
+        return False
+    if task.keypoint_cfg is None or task.keypoint_cfg.name != "set_interval":
+        return False
+    try:  # residual fn must trace on lane-last arrays
+        dt = model.dtype
+        data = Data(
+            qpos=jnp.zeros((model.nq, 2), dt),
+            qvel=jnp.zeros((model.nv, 2), dt),
+            ctrl=jnp.zeros((model.nu, 2), dt),
+            time=jnp.zeros((), dt),
+        )
+        r = jax.eval_shape(
+            lambda d, t: task.residual_fn(model, d, t),
+            data, jnp.zeros(task.residual_targets.shape + (1,), dt),
+        )
+        return r.shape == task.residual_targets.shape + (2,)
+    except Exception:
+        return False
+
+
+def _si_keypoint_times(H: int, min_N: int):
+    """set_interval keypoint times (KeyPointGenerator.cpp:319-339): every
+    min_N steps plus the final step."""
+    ts = list(range(0, H - 1, min_N))
+    if ts[-1] != H - 1:
+        ts.append(H - 1)
+    return np.array(ts, dtype=np.int32)
+
+
+def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
+    """Build run(qposB (B,nq), qvelB, UB (B,H,nu), targetsB) -> LaneBatchResult.
+
+    One jitted dispatch; fori_loop over cfg.max_iterations (every lane runs
+    the full budget, rejected steps keep the nominal and re-raise lambda —
+    batched.py semantics)."""
+    model, sv = task.model, task.sv
+    assert lane_solver_supported(task), "task outside lane-solver scope"
+    nq, nv, nu = model.nq, model.nv, model.nu
+    n = nv
+    dtype = model.dtype
+    step_l = build_smooth_step(model)
+    alphas_np = np.asarray(default_alphas(cfg.num_parallel_rollouts, dtype))
+    n_alpha = len(alphas_np)
+    w_run = np.asarray(task.weights, dtype=np.float64)
+    w_term = np.asarray(task.weights_terminal, dtype=np.float64)
+    limits = np.asarray(jax.device_get(control_limits(task)))
+    kp_times = _si_keypoint_times(H, task.keypoint_cfg.min_N)
+    n_kp = len(kp_times)
+    pct = 100.0 * n_kp / H
+    # shared prev/next keypoint index per time (static — SI mask is the same
+    # for every dof and lane), for the interpolation lerp
+    prev = np.zeros(H, np.int32)
+    nxt = np.zeros(H, np.int32)
+    kset = set(kp_times.tolist())
+    last = 0
+    for t in range(H):
+        if t in kset:
+            last = t
+        prev[t] = last
+    nxt_v = H - 1
+    for t in range(H - 1, -1, -1):
+        if t in kset:
+            nxt_v = t
+        nxt[t] = nxt_v
+    lerp_w = ((np.arange(H) - prev) / np.maximum(nxt - prev, 1)).astype(
+        np.float64
+    )
+
+    def residual_rows(qpos, qvel, ctrl, targets):
+        """targets broadcast-ready; returns (nres, ...L)."""
+        data = Data(qpos=qpos, qvel=qvel, ctrl=ctrl,
+                    time=jnp.zeros((), dtype))
+        return task.residual_fn(model, data, targets)
+
+    def step_cost(r, t):
+        w = jnp.where(
+            t == H - 1,
+            jnp.asarray(w_term, dtype)[:, None],
+            jnp.asarray(w_run, dtype)[:, None],
+        )
+        extra = r.ndim - 2
+        w = w.reshape(w.shape[:1] + (1,) * extra + w.shape[1:])
+        return jnp.sum(w * r * r, axis=0)
+
+    def rollout(qp0, qv0, U, targets):
+        """U (H, nu, B) -> (qpos (H+1,nq,B), qvel (H+1,nv,B), costs (H,B))."""
+
+        def body(carry, inp):
+            qp, qv = carry
+            u, t = inp
+            r = residual_rows(qp, qv, u, targets)
+            c = step_cost(r, t)
+            qp2, qv2 = step_l(qp, qv, u)
+            return (qp2, qv2), (qp, qv, c)
+
+        (qpN, qvN), (qps, qvs, costs) = jax.lax.scan(
+            body, (qp0, qv0), (U, jnp.arange(H))
+        )
+        qpos = jnp.concatenate([qps, qpN[None]], axis=0)
+        qvel = jnp.concatenate([qvs, qvN[None]], axis=0)
+        return qpos, qvel, costs
+
+    def jacobians(qpos, qvel, U):
+        """A (H,2n,2n,B), B (H,2n,nu,B): exact jacfwd at the static SI
+        keypoint times, lerped in between (InterpolateDerivatives semantics,
+        KeyPointGenerator.cpp:840-954; with a shared SI schedule every dof
+        column interpolates identically, so the lerp is whole-matrix)."""
+        B_ = qpos.shape[-1]
+        qp_k = qpos[kp_times]            # (K, nq, B)
+        qv_k = qvel[kp_times]
+        u_k = U[kp_times]
+        # merge (K, B) into one lane axis, keeping B minor
+        qp_f = qp_k.transpose(1, 0, 2)   # (nq, K, B)
+        qv_f = qv_k.transpose(1, 0, 2)
+        u_f = u_k.transpose(1, 0, 2)
+
+        def g(z):
+            dq = jnp.zeros((nq,) + (1, 1), dtype).at[:n].set(
+                z[:n].reshape(n, 1, 1)
+            )
+            qp2, qv2 = step_l(
+                qp_f + dq,
+                qv_f + z[n : 2 * n].reshape(n, 1, 1),
+                u_f + z[2 * n :].reshape(nu, 1, 1),
+            )
+            return jnp.concatenate([qp2[:n] - qp_f[:n], qv2 - qv_f], axis=0)
+
+        J = jax.jacfwd(g)(jnp.zeros((2 * n + nu,), dtype))
+        # J: (2n, K, B, 2n+nu) -> (K, 2n, 2n+nu, B)
+        J = J.transpose(1, 0, 3, 2)
+        A_kp = J[:, :, : 2 * n]
+        B_kp = J[:, :, 2 * n :]
+        # lerp across all times (keypoint times get w=0 -> exact values)
+        wL = jnp.asarray(lerp_w, dtype)[:, None, None, None]
+        pidx = jnp.asarray(
+            np.searchsorted(kp_times, prev).astype(np.int32)
+        )
+        nidx = jnp.asarray(
+            np.searchsorted(kp_times, nxt).astype(np.int32)
+        )
+        A = A_kp[pidx] + wL * (A_kp[nidx] - A_kp[pidx])
+        Bm = B_kp[pidx] + wL * (B_kp[nidx] - B_kp[pidx])
+        return A, Bm
+
+    def cost_expansion(qpos, qvel, U, targets):
+        """l_x (H,2n,B), l_xx (H,2n,2n,B), l_u, l_uu via Gauss-Newton on the
+        residual Jacobians (CostDerivativesFromResiduals,
+        ModelTranslator.cpp:552-583)."""
+
+        def g(z, qp, qv, u):
+            # scalar-joint models: nq == nv == n, tangent == plain offset
+            return residual_rows(
+                qp + z[:n].reshape(n, 1, 1),
+                qv + z[n : 2 * n].reshape(n, 1, 1),
+                u + z[2 * n :].reshape(nu, 1, 1),
+                targets[:, None, :],
+            )
+
+        qp_f = qpos[:H].transpose(1, 0, 2)  # (nq, H, B)
+        qv_f = qvel[:H].transpose(1, 0, 2)
+        u_f = U.transpose(1, 0, 2)
+        z0 = jnp.zeros((2 * n + nu,), dtype)
+        r = g(z0, qp_f, qv_f, u_f)                     # (nres, H, B)
+        rJ = jax.jacfwd(lambda z: g(z, qp_f, qv_f, u_f))(z0)
+        # rJ: (nres, H, B, 2n+nu)
+        w = jnp.where(
+            (jnp.arange(H) == H - 1)[:, None],
+            jnp.asarray(w_term, dtype)[None, :],
+            jnp.asarray(w_run, dtype)[None, :],
+        ).T                                             # (nres, H)
+        wr = w[:, :, None] * r                          # (nres, H, B)
+        l_z = 2.0 * jnp.einsum("rhb,rhbz->hzb", wr, rJ)
+        l_zz = 2.0 * jnp.einsum(
+            "rh,rhbz,rhby->hzyb", w, rJ, rJ
+        )
+        return (
+            l_z[:, : 2 * n],                 # l_x (H, 2n, B)
+            l_zz[:, : 2 * n, : 2 * n],       # l_xx
+            l_z[:, 2 * n :],                 # l_u
+            l_zz[:, 2 * n :, 2 * n :],       # l_uu
+        )
+
+    # ---- backward pass on registers ----------------------------------------
+
+    def backward_pass(A, Bm, l_x, l_xx, l_u, l_uu, lamb):
+        """Riccati sweep (iLQR.cpp:535-634) with per-lane lambda."""
+
+        def bp_step(carry, inp):
+            V_x, V_xx = carry                       # lists of regs
+            A_t, B_t, lx_t, lxx_t, lu_t, luu_t = inp
+            A_ = [[A_t[i, j] for j in range(2 * n)] for i in range(2 * n)]
+            B_ = [[B_t[i, a] for a in range(nu)] for i in range(2 * n)]
+            Q_x = [
+                lx_t[i] + sum(A_[k][i] * V_x[k] for k in range(2 * n))
+                for i in range(2 * n)
+            ]
+            Q_u = [
+                lu_t[a] + sum(B_[k][a] * V_x[k] for k in range(2 * n))
+                for a in range(nu)
+            ]
+            VA = [
+                [
+                    sum(V_xx[k][m] * A_[m][j] for m in range(2 * n))
+                    for j in range(2 * n)
+                ]
+                for k in range(2 * n)
+            ]
+            VB = [
+                [
+                    sum(V_xx[k][m] * B_[m][a] for m in range(2 * n))
+                    for a in range(nu)
+                ]
+                for k in range(2 * n)
+            ]
+            Q_xx = [
+                [
+                    lxx_t[i, j]
+                    + sum(A_[k][i] * VA[k][j] for k in range(2 * n))
+                    for j in range(2 * n)
+                ]
+                for i in range(2 * n)
+            ]
+            Q_ux = [
+                [
+                    sum(B_[k][a] * VA[k][j] for k in range(2 * n))
+                    for j in range(2 * n)
+                ]
+                for a in range(nu)
+            ]
+            Q_uu = [
+                [
+                    luu_t[a, b]
+                    + sum(B_[k][a] * VB[k][b] for k in range(2 * n))
+                    for b in range(nu)
+                ]
+                for a in range(nu)
+            ]
+            # chol(Q_uu + lambda I) + solves, unrolled on registers
+            Lc = [[None] * nu for _ in range(nu)]
+            for j in range(nu):
+                s = Q_uu[j][j] + lamb
+                for p in range(j):
+                    s = s - Lc[j][p] * Lc[j][p]
+                Lc[j][j] = jnp.sqrt(s)
+                inv = 1.0 / Lc[j][j]
+                for i in range(j + 1, nu):
+                    s = Q_uu[i][j]
+                    for p in range(j):
+                        s = s - Lc[i][p] * Lc[j][p]
+                    Lc[i][j] = s * inv
+
+            def chol_solve(b):
+                y = [None] * nu
+                for i in range(nu):
+                    s = b[i]
+                    for p in range(i):
+                        s = s - Lc[i][p] * y[p]
+                    y[i] = s / Lc[i][i]
+                x = [None] * nu
+                for i in reversed(range(nu)):
+                    s = y[i]
+                    for p in range(i + 1, nu):
+                        s = s - Lc[p][i] * x[p]
+                    x[i] = s / Lc[i][i]
+                return x
+
+            k_t = [-x for x in chol_solve(Q_u)]
+            K_t = [[None] * (2 * n) for _ in range(nu)]
+            for j in range(2 * n):
+                col = chol_solve([Q_ux[a][j] for a in range(nu)])
+                for a in range(nu):
+                    K_t[a][j] = -col[a]
+            Quu_k = [
+                sum(Q_uu[a][b] * k_t[b] for b in range(nu))
+                for a in range(nu)
+            ]
+            Quu_K = [
+                [
+                    sum(Q_uu[a][b] * K_t[b][j] for b in range(nu))
+                    for j in range(2 * n)
+                ]
+                for a in range(nu)
+            ]
+            V_x_n = [
+                Q_x[i]
+                + sum(K_t[a][i] * (Quu_k[a] + Q_u[a]) for a in range(nu))
+                + sum(Q_ux[a][i] * k_t[a] for a in range(nu))
+                for i in range(2 * n)
+            ]
+            V_xx_n = [
+                [
+                    Q_xx[i][j]
+                    + sum(K_t[a][i] * Quu_K[a][j] for a in range(nu))
+                    + sum(K_t[a][i] * Q_ux[a][j] for a in range(nu))
+                    + sum(Q_ux[a][i] * K_t[a][j] for a in range(nu))
+                    for j in range(2 * n)
+                ]
+                for i in range(2 * n)
+            ]
+            V_xx_n = [
+                [0.5 * (V_xx_n[i][j] + V_xx_n[j][i]) for j in range(2 * n)]
+                for i in range(2 * n)
+            ]
+            dJ_t = sum(k_t[a] * Q_u[a] for a in range(nu)) + sum(
+                k_t[a] * Quu_k[a] for a in range(nu)
+            )
+            k_out = jnp.stack(k_t)                       # (nu, B)
+            K_out = jnp.stack([jnp.stack(r) for r in K_t])  # (nu, 2n, B)
+            return (V_x_n, V_xx_n), (k_out, K_out, dJ_t)
+
+        V_x0 = [l_x[H - 1, i] for i in range(2 * n)]
+        V_xx0 = [[l_xx[H - 1, i, j] for j in range(2 * n)]
+                 for i in range(2 * n)]
+        (_, _), (k, K, dJ) = jax.lax.scan(
+            bp_step, (V_x0, V_xx0), (A, Bm, l_x, l_xx, l_u, l_uu),
+            reverse=True,
+        )
+        valid = jnp.all(jnp.isfinite(k), axis=(0, 1)) & jnp.all(
+            jnp.isfinite(K), axis=(0, 1, 2)
+        )                                                 # (B,)
+        return k, K, jnp.sum(dJ, axis=0), valid
+
+    def bp_lambda_loop(A, Bm, l_x, l_xx, l_u, l_uu, lamb):
+        """Per-lane lambda retry (iLQR.cpp:430-452,636-657): lanes whose
+        Cholesky failed re-raise lambda and re-run; converged lanes keep
+        their result (same lambda -> identical recompute)."""
+
+        def update(lamb, valid):
+            lam2 = jnp.where(
+                valid, lamb / cfg.lambda_factor, lamb * cfg.lambda_factor
+            )
+            exited = lam2 > cfg.max_lambda
+            return jnp.clip(lam2, cfg.min_lambda, cfg.max_lambda), exited
+
+        k0, K0, dJ0, v0 = backward_pass(A, Bm, l_x, l_xx, l_u, l_uu, lamb)
+        lamb1, ex0 = update(lamb, v0)
+
+        def cond(st):
+            _, _, _, _, valid, exited = st
+            return jnp.any(jnp.logical_not(valid) & jnp.logical_not(exited))
+
+        def body(st):
+            _, _, _, lamb, _, _ = st
+            k, K, dJ, v = backward_pass(A, Bm, l_x, l_xx, l_u, l_uu, lamb)
+            lamb_n, ex = update(lamb, v)
+            return (k, K, dJ, lamb_n, v, ex)
+
+        k, K, dJ, lamb_f, valid, exited = jax.lax.while_loop(
+            cond, body, (k0, K0, dJ0, lamb1, v0, ex0)
+        )
+        return k, K, dJ, lamb_f, exited & jnp.logical_not(valid)
+
+    # ---- line search --------------------------------------------------------
+
+    def forward_pass(qpos, qvel, U, costs_old, k, K, targets):
+        """vmapped-by-broadcast line search: registers shaped (n_alpha, B)."""
+        B_ = qpos.shape[-1]
+        al = jnp.asarray(alphas_np, dtype)[:, None]      # (n_alpha, 1)
+        lo = jnp.asarray(limits[:, 0], dtype)
+        hi = jnp.asarray(limits[:, 1], dtype)
+
+        def body(carry, inp):
+            qp, qv = carry                                # (nq, n_alpha, B)
+            u_nom, qp_nom, qv_nom, k_t, K_t, t = inp
+            dx_pos = qp[:n] - qp_nom[:n][:, None, :]      # (n, n_alpha, B)
+            dx_vel = qv - qv_nom[:, None, :]
+            u = (
+                u_nom[:, None, :]
+                + al[None] * k_t[:, None, :]
+                + jnp.einsum("uj...,j...->u...",
+                             K_t[:, : n, None, :], dx_pos)
+                + jnp.einsum("uj...,j...->u...",
+                             K_t[:, n :, None, :], dx_vel)
+            )
+            u = jnp.clip(
+                u, lo.reshape(nu, 1, 1), hi.reshape(nu, 1, 1)
+            )
+            r = residual_rows(qp, qv, u, targets[:, None, :])
+            c = step_cost(r, t)                           # (n_alpha, B)
+            qp2, qv2 = step_l(qp, qv, u)
+            return (qp2, qv2), (qp, qv, u, c)
+
+        qp0 = jnp.broadcast_to(qpos[0][:, None, :], (nq, n_alpha, B_))
+        qv0 = jnp.broadcast_to(qvel[0][:, None, :], (nv, n_alpha, B_))
+        (qpN, qvN), (qps, qvs, us, cs) = jax.lax.scan(
+            body, (qp0, qv0),
+            (U, qpos[:H], qvel[:H], k, K, jnp.arange(H)),
+        )
+        total = jnp.sum(cs, axis=0)                       # (n_alpha, B)
+        best = jnp.argmin(total, axis=0)                  # (B,)
+        best_cost = jnp.take_along_axis(total, best[None], axis=0)[0]
+        accept = best_cost < costs_old
+
+        def pick(x):                                      # (H?, d, n_alpha, B)
+            idx = best.reshape((1,) * (x.ndim - 1) + (-1,))
+            return jnp.take_along_axis(x, idx, axis=x.ndim - 2)[..., 0, :]
+
+        qps_b = pick(jnp.concatenate([qps, qpN[None]], axis=0))
+        qvs_b = pick(jnp.concatenate([qvs, qvN[None]], axis=0))
+        us_b = pick(us)
+        cs_b = pick(cs)
+        return qps_b, qvs_b, us_b, cs_b, accept, best_cost
+
+    # ---- full optimisation ---------------------------------------------------
+
+    def run(qposB, qvelB, UB, targetsB) -> LaneBatchResult:
+        B_ = UB.shape[0]
+        qp0 = qposB.T.astype(dtype)                      # (nq, B)
+        qv0 = qvelB.T.astype(dtype)
+        U0 = UB.transpose(1, 2, 0).astype(dtype)         # (H, nu, B)
+        targets = targetsB.T.astype(dtype)               # (ntar, B)
+
+        qpos, qvel, costs = rollout(qp0, qv0, U0, targets)
+        initial = jnp.sum(costs, axis=0)
+
+        def iteration(_, st):
+            qpos, qvel, U, old_cost, lamb = st
+            A, Bm = jacobians(qpos, qvel, U)
+            l_x, l_xx, l_u, l_uu = cost_expansion(qpos, qvel, U, targets)
+            k, K, dJ, lamb, _ = bp_lambda_loop(
+                A, Bm, l_x, l_xx, l_u, l_uu, lamb
+            )
+            qps_n, qvs_n, U_n, cs_n, accept, best_cost = forward_pass(
+                qpos, qvel, U, old_cost, k, K, targets
+            )
+            acc = accept.astype(dtype)
+            sel = lambda new, old: acc * new + (1.0 - acc) * old
+            qpos = sel(qps_n, qpos)
+            qvel = sel(qvs_n, qvel)
+            U = sel(U_n, U)
+            new_cost = jnp.where(accept, best_cost, old_cost)
+            lamb = jnp.where(
+                accept, lamb,
+                jnp.clip(lamb * cfg.lambda_factor**2,
+                         cfg.min_lambda, cfg.max_lambda),
+            )
+            return qpos, qvel, U, new_cost, lamb
+
+        lamb0 = jnp.full((B_,), cfg.lambda_init, dtype)
+        qpos, qvel, U, final, lamb = jax.lax.fori_loop(
+            0, cfg.max_iterations, iteration,
+            (qpos, qvel, U0, initial, lamb0),
+        )
+        return LaneBatchResult(
+            ctrl=U.transpose(2, 0, 1),
+            initial_cost=initial,
+            final_cost=final,
+            num_iterations=jnp.full((B_,), cfg.max_iterations, jnp.int32),
+            pct_derivs=jnp.full((B_,), pct, dtype),
+        )
+
+    return run

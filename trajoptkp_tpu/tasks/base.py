@@ -49,6 +49,14 @@ class Task:
     # toward the target (PushBaseClass semantics); "goal" for rigid pushing,
     # a central jelly vertex for soft pushing.
     push_object_body: str = struct.field(pytree_node=False, default="goal")
+    # CreateInitOptimisationControls hook
+    # (`ModelTranslator.h:166`, overridden per task e.g. `BoxSweep.h:13`,
+    # `SweepMultiple.h:12`, `PlaceObject.h:22`): fn(task, H, qpos0, qvel0,
+    # targets) -> (H, nu) control tape.  None = zero controls
+    # (`ModelTranslator.cpp:1783-1797`).
+    init_controls_fn: Optional[Callable] = struct.field(
+        pytree_node=False, default=None
+    )
     model: Model = None
     sv: StateVector = None
     residual_targets: jnp.ndarray = None   # flat target array (layout per task)

@@ -63,6 +63,16 @@ def _panda_scene(objects_xml: str, timestep=0.008) -> str:
 """
 
 
+def _ee_init_controls(task, H, qpos0=None, qvel0=None, targets=None):
+    """CreateInitOptimisationControls hook: PushBaseClass EE-waypoint
+    servo (`/root/reference/src/ModelTranslator/PushBaseClass.cpp:139-248`;
+    the sweep/place tasks inherit it, `BoxSweep.h:13`, `SweepMultiple.h:12`,
+    `PlaceObject.h:22`)."""
+    from .pushing import jacobian_ee_init_controls
+
+    return jacobian_ee_init_controls(task, H, qpos0, qvel0, targets)
+
+
 def make_box_sweep(dtype=jnp.float64) -> Task:
     objects = (
         '<body name="goal" pos="0.6 0.1 0.06">\n'
@@ -97,6 +107,7 @@ def make_box_sweep(dtype=jnp.float64) -> Task:
     sv = state_vector_from_names(model, names, dtype=dtype)
     ndof = sv.ndof
     return Task(
+        init_controls_fn=_ee_init_controls,
         name="box_sweep",
         residual_names=("goal_pos", "goal_vel", "reach"),
         residual_fn=residual_fn,
@@ -163,6 +174,7 @@ def make_place(dtype=jnp.float64) -> Task:
     sv = state_vector_from_names(model, names, dtype=dtype)
     ndof = sv.ndof
     return Task(
+        init_controls_fn=_ee_init_controls,
         name="place",
         residual_names=("goal_pos", "upright", "goal_vel", "reach"),
         residual_fn=residual_fn,
@@ -229,6 +241,7 @@ def make_threed_push(dtype=jnp.float64) -> Task:
     sv = state_vector_from_names(model, names, dtype=dtype)
     ndof = sv.ndof
     return Task(
+        init_controls_fn=_ee_init_controls,
         name="threeD_push",
         residual_names=("goal_x", "goal_y", "goal_vx", "goal_vy",
                         "tilt_x", "tilt_y", "reach"),
@@ -311,6 +324,7 @@ def make_sweep_multiple(dtype=jnp.float64) -> Task:
     ndof = sv.ndof
     jvel_w = [0.1, 0.1, 0.1, 0.01, 0.0, 0.1, 0.0]
     return Task(
+        init_controls_fn=_ee_init_controls,
         name="sweep_multiple",
         residual_names=tuple(f"{n}_x" for n, _, _ in _SWEEP_OBJECTS)
         + tuple(f"joint_{i}_vel" for i in range(7)),

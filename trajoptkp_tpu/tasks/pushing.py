@@ -166,6 +166,7 @@ def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
     w = [0.0, 0.2] + [0.1] * num_obstacles + [0.1, 0.01]
     wt = [1000.0, 10.0] + [10.0] * num_obstacles + [0.1, 0.01]
     return Task(
+        init_controls_fn=jacobian_ee_init_controls,
         name=f"push_{level}",
         residual_names=(
             "goal_pos", "goal_vel",

@@ -102,6 +102,16 @@ def build_push_soft_scene_xml(into_rigid: bool) -> str:
 """
 
 
+def _ee_init_controls(task, H, qpos0=None, qvel0=None, targets=None):
+    """CreateInitOptimisationControls hook: PushBaseClass EE-waypoint
+    servo (`/root/reference/src/ModelTranslator/PushBaseClass.cpp:139-248`;
+    the sweep/place tasks inherit it, `BoxSweep.h:13`, `SweepMultiple.h:12`,
+    `PlaceObject.h:22`)."""
+    from .pushing import jacobian_ee_init_controls
+
+    return jacobian_ee_init_controls(task, H, qpos0, qvel0, targets)
+
+
 def make_push_soft(into_rigid: bool = False, dtype=jnp.float64) -> Task:
     shape = _JELLY_RIGID_SHAPE if into_rigid else _JELLY_SHAPE
     nvert = shape[0] * shape[1] * shape[2]
@@ -183,6 +193,7 @@ def make_push_soft(into_rigid: bool = False, dtype=jnp.float64) -> Task:
     ndof = sv.ndof
 
     return Task(
+        init_controls_fn=_ee_init_controls,
         name=name,
         residual_names=residual_names,
         residual_fn=residual_fn,

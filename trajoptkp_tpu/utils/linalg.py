@@ -98,8 +98,8 @@ def _sym_solve_jvp(primals, tangents):
     if n <= _UNROLL_MAX:
         L = chol_unrolled(A)
         x = chol_solve_unrolled(L, b)
-        rhs = db - (dA @ x if x.ndim == dA.ndim - 1 else dA @ x)
-        dx = chol_solve_unrolled(L, rhs)
+        # dA @ x covers both b shapes: (n,) matvec and (n, m) matmat
+        dx = chol_solve_unrolled(L, db - dA @ x)
     else:
         f = jax.scipy.linalg.cho_factor(A)
         x = jax.scipy.linalg.cho_solve(f, b)
