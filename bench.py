@@ -100,7 +100,7 @@ def bench_push():
     qpos, qvel, targets = load_scenes_for_task(
         task, "/root/reference/TestTasks/push_ncl", N
     )
-    U = _batch_init_controls(task, H, qpos, qvel, targets)
+    qpos, qvel, U = _batch_init_controls(task, H, qpos, qvel, targets)
     run = make_batched_phase_optimise(task, cfg, H, batch_size=N)
     args = (
         jnp.asarray(qpos, dtype), jnp.asarray(qvel, dtype),

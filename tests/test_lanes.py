@@ -15,13 +15,15 @@ from trajoptkp_tpu.dynamics.lanes import build_smooth_step, lanes_supported
 from trajoptkp_tpu.tasks.toys import make_acrobot, make_pentabot
 
 
-def test_lane_gate_rejects_contact_models():
-    """Pentabot declares link self-collision pairs -> outside lane scope."""
-    task = make_pentabot(dtype=jnp.float64)
+def test_lane_gate_rejects_unsupported_models():
+    """Flex soft bodies stay outside lane scope (generic engine path)."""
+    from trajoptkp_tpu.tasks.soft import make_push_soft
+
+    task = make_push_soft(dtype=jnp.float64)
     assert not lanes_supported(task.model)
 
 
-@pytest.mark.parametrize("make", [make_acrobot])
+@pytest.mark.parametrize("make", [make_acrobot, make_pentabot])
 def test_lane_step_matches_generic(make):
     task = make(dtype=jnp.float64)
     model = task.model

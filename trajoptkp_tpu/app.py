@@ -115,7 +115,8 @@ def main(argv=None):
             "u0": np.asarray(U[0]).tolist(),
         }))
     elif mode == "Optimise_once":
-        U = _init_controls(task, H)
+        qpos0, qvel0, U = _prepare_start(task, H)
+        task = task.replace(qpos_start=qpos0, qvel_start=qvel0)
         if args.optimiser == "iLQR_SVR":
             from .solver.ilqr_svr import SVRConfig, make_svr_optimise
 
@@ -217,6 +218,27 @@ def _init_controls(task, H):
     return jnp.zeros((H, task.model.nu), task.model.dtype)
 
 
+def _prepare_start(task, H):
+    """Setup phase + optimisation init controls (`main.cpp:360-363`):
+    CreateInitSetupControls(1000) advances the system (EE behind the
+    object), the post-setup state becomes the optimisation start, then
+    CreateInitOptimisationControls builds the tape from there.
+
+    Returns (qpos0, qvel0, U_init)."""
+    qpos0, qvel0 = task.qpos_start, task.qvel_start
+    if task.setup_controls_fn is not None:
+        _, qpos0, qvel0 = jax.jit(
+            lambda: task.setup_controls_fn(task, 1000)
+        )()
+    if task.init_controls_fn is not None:
+        U = jax.jit(
+            lambda: task.init_controls_fn(task, H, qpos0, qvel0)
+        )()
+    else:
+        U = jnp.zeros((H, task.model.nu), task.model.dtype)
+    return qpos0, qvel0, U
+
+
 def _generate_scenes(task, args):
     from .config import SceneSpec, save_scene_csv
 
@@ -258,7 +280,7 @@ def _openloop_campaign(task, cfg, H, args):
         qvel = np.zeros((N, nv))
         targets = np.tile(np.asarray(task.residual_targets), (N, 1))
         controls_noise = 0.5
-    U = _batch_init_controls(task, H, qpos, qvel, targets)
+    qpos, qvel, U = _batch_init_controls(task, H, qpos, qvel, targets)
     stamp = time.strftime("%Y%m%d_%H%M")
     out_dir = os.path.join(
         args.out_dir, f"{task.name}_openloop_{stamp}"
@@ -276,43 +298,48 @@ def _openloop_campaign(task, cfg, H, args):
 
 
 def _batch_init_controls(task, H, qpos, qvel, targets):
-    """Per-scene init controls (CreateInitOptimisationControls per trial,
-    via the Task hook — `GenTestingData.cpp:169-196` rebuilds them per
-    loaded scene)."""
+    """Per-scene setup phase + init controls (the reference campaigns run
+    CreateInitSetupControls(1000) then CreateInitOptimisationControls per
+    loaded scene, `GenTestingData.cpp:169-200`).
+
+    Returns (qpos0 (N,nq), qvel0 (N,nv), U (N,H,nu)) — post-setup starts."""
     dtype = task.model.dtype
+    qpos = jnp.asarray(qpos, dtype)
+    qvel = jnp.asarray(qvel, dtype)
+    targets = jnp.asarray(targets, dtype)
+    if task.setup_controls_fn is not None:
+        setup = jax.jit(jax.vmap(
+            lambda qp, qv, tg: task.setup_controls_fn(task, 1000, qp, qv, tg)
+        ))
+        _, qpos, qvel = setup(qpos, qvel, targets)
     if task.init_controls_fn is not None:
         run = jax.jit(jax.vmap(
             lambda qp, qv, tg: task.init_controls_fn(task, H, qp, qv, tg)
         ))
-        return np.asarray(run(
-            jnp.asarray(qpos, dtype), jnp.asarray(qvel, dtype),
-            jnp.asarray(targets, dtype),
-        ))
-    return np.zeros((qpos.shape[0], H, task.model.nu))
+        U = np.asarray(run(qpos, qvel, targets))
+    else:
+        U = np.zeros((qpos.shape[0], H, task.model.nu))
+    return np.asarray(qpos), np.asarray(qvel), U
 
 
 def _sync_mpc_campaign(task, cfg, args):
-    from .mpc import make_sync_mpc
+    """GenDataMPCHorizons (`GenTestingData.cpp:275-326`): replan-time vs
+    horizon sweep (the BASELINE.md walker table) when --horizon is not
+    pinned; single-horizon timing otherwise."""
+    from .bench.campaigns import sync_mpc_horizon_sweep
 
-    H = task.mpc_horizon
-    mpc = make_sync_mpc(task, cfg, H, num_apply=1)
-    n_replans = 200
-    key = jax.random.PRNGKey(args.seed)
-    U0 = jnp.zeros((H, task.model.nu), task.model.dtype)
-    run = jax.jit(lambda qp, qv, U, k: mpc(qp, qv, U, n_replans, k))
-    res = run(task.qpos_start, task.qvel_start, U0, key)
-    jax.block_until_ready(res)
-    t0 = time.perf_counter()
-    res = run(task.qpos_start, task.qvel_start, U0, key)
-    jax.block_until_ready(res)
-    wall = time.perf_counter() - t0
-    print(json.dumps({
-        "task": task.name, "mpc_horizon": H, "replans": n_replans,
-        "total_ms": wall * 1e3,
-        "ms_per_replan": wall * 1e3 / n_replans,
-        "replan_rate_hz": n_replans / wall,
-        "mean_running_cost": float(jnp.mean(res.cost_hist)),
-    }))
+    horizons = (
+        [args.horizon] if args.horizon
+        else [20, 30, 40, 50, 60, 70, 80]
+    )
+    out_dir = os.path.join(
+        args.out_dir,
+        f"{task.name}_sync_mpc_{time.strftime('%Y%m%d_%H%M')}",
+    )
+    rows = sync_mpc_horizon_sweep(
+        task, cfg, horizons, n_replans=200, out_dir=out_dir, seed=args.seed
+    )
+    print(json.dumps({"campaign": out_dir, "rows": rows}))
 
 
 def _async_mpc_campaign(task, cfg, args):

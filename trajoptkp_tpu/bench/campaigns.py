@@ -168,7 +168,30 @@ def dump_derivatives(
     write("X_trajectory", traj.qpos[:H])
     write("V_trajectory", traj.qvel[:H])
     write("U_trajectory", traj.ctrl)
+    # the method's actual keypoint schedule for this trajectory
+    from ..keypoints.methods import generate_keypoints
+
+    if task.keypoint_cfg is not None:
+        sv_idx = jnp.array(task.sv.order)
+        kp_mask = generate_keypoints(
+            task.keypoint_cfg, traj.qvel[:H][:, sv_idx], task.model.timestep
+        )
+        save_keypoints_csv(os.path.join(out_dir, "keypoints.csv"), kp_mask)
     return out_dir
+
+
+def save_keypoints_csv(path: str, mask) -> None:
+    """keypoints.csv in the reference layout (SaveKeypointsToFile,
+    `FileHandler.cpp:385-421`): one row per dof listing the time indices
+    where that dof has a keypoint."""
+    mask = np.asarray(mask)
+    with open(path, "w") as f:
+        for d in range(mask.shape[1]):
+            ts = np.nonzero(mask[:, d])[0]
+            f.write(",".join(str(int(t)) for t in ts))
+            if len(ts):
+                f.write(",")
+            f.write("\n")
 
 
 # ---------------------------------------------------------------------------

@@ -24,35 +24,66 @@ reference differentiates, `/root/reference/src/Differentiator/
 Differentiator.cpp:8-462`); tests/test_lanes.py pins lane-engine outputs to
 the generic engine to 1e-10 in f64.
 
-Scope: models whose joints are all HINGE/SLIDE with no contact pairs and no
-flex; joint LIMITS are supported via a register-style projected-Newton
-constraint solve matching dynamics/contact.py exactly (acrobot, reaching,
-arm/chain tasks).  `lanes_supported(model)` gates dispatch.
+Scope: HINGE/SLIDE/FREE joints, joint limits, and contacts between
+plane/sphere/capsule/cylinder primitives — the acrobot/reaching/pushing
+task families.  Limits and contacts run through a register-style
+projected-Newton constraint solve matching dynamics/contact.py exactly.
+`lanes_supported(model)` gates dispatch; ball joints, flex and box contacts
+fall back to the generic engine.
 """
 
 from __future__ import annotations
-
-import math as pymath
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .model import HINGE, SLIDE, Model
+from .model import (GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_PLANE,
+                    GEOM_SPHERE, FREE, HINGE, SLIDE, Model)
 
-__all__ = ["lanes_supported", "build_smooth_step"]
+__all__ = [
+    "lanes_supported", "build_smooth_step", "build_fk_products",
+    "build_tangent_ops",
+]
+
+
+# contact-pair type combinations the lane narrow phase implements
+_LANE_COLLIDERS = {
+    (GEOM_PLANE, GEOM_CYLINDER),
+    (GEOM_PLANE, GEOM_CAPSULE),
+    (GEOM_PLANE, GEOM_SPHERE),
+    (GEOM_SPHERE, GEOM_SPHERE),
+    (GEOM_SPHERE, GEOM_CYLINDER),
+    (GEOM_SPHERE, GEOM_CAPSULE),
+    (GEOM_CAPSULE, GEOM_CAPSULE),
+    (GEOM_CAPSULE, GEOM_CYLINDER),
+    (GEOM_CYLINDER, GEOM_CYLINDER),
+}
 
 
 def lanes_supported(model: Model) -> bool:
-    """True when the lane engine covers this model's dynamics exactly
-    (scalar joints, optional joint limits; no contacts, no flex)."""
+    """True when the lane engine covers this model's dynamics exactly:
+    HINGE/SLIDE/FREE joints, joint limits, and contacts between the
+    primitive pairs in _LANE_COLLIDERS (plane/sphere/capsule/cylinder
+    family — the pushing/reaching task suite); no ball joints, no flex,
+    no box contacts (threeD_push/box_sweep fall back to the generic engine).
+    """
     jt = [int(t) for t in np.asarray(model.jnt_type)]
-    if any(t not in (HINGE, SLIDE) for t in jt):
+    if any(t not in (HINGE, SLIDE, FREE) for t in jt):
         return False
-    if model.contact_pairs:
-        return False
+    tp = [int(t) for t in np.asarray(model.geom_type)]
+    for (g1, g2) in model.contact_pairs:
+        pair = (tp[g1], tp[g2])
+        if pair not in _LANE_COLLIDERS and pair[::-1] not in _LANE_COLLIDERS:
+            return False
     if model.flex_edges:
         return False
+    if model.nu:
+        # actuators must drive scalar joints (direct-drive gear row 0)
+        for a in range(model.nu):
+            j = int(np.asarray(model.actuator_trnid)[a])
+            if int(np.asarray(model.jnt_type)[j]) not in (HINGE, SLIDE):
+                return False
     return True
 
 
@@ -126,6 +157,44 @@ def _mat_vec(R, v):
     return tuple(sum(R[i][j] * v[j] for j in range(3)) for i in range(3))
 
 
+def _qnorm(q):
+    n = jnp.sqrt(jnp.maximum(
+        q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3], 1e-24
+    ))
+    return tuple(x / n for x in q)
+
+
+def _qexp_reg(v):
+    """Rotation-vector registers -> quaternion registers
+    (utils.math.quat_exp, same double-where autodiff guards)."""
+    sumsq = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+    small = sumsq < 1e-18
+    angle = jnp.sqrt(jnp.where(small, 1.0, sumsq))
+    half = 0.5 * angle
+    sinc_half = jnp.where(small, 0.5 - sumsq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - sumsq / 8.0, jnp.cos(half))
+    return (w, v[0] * sinc_half, v[1] * sinc_half, v[2] * sinc_half)
+
+
+def _qlog_reg(q):
+    """Quaternion registers -> rotation-vector registers
+    (utils.math.quat_log: normalize, short geodesic, guarded scale)."""
+    q = _qnorm(q)
+    sgn = jnp.where(q[0] < 0, -1.0, 1.0)
+    q = tuple(sgn * x for x in q)
+    w = jnp.clip(q[0], -1.0, 1.0)
+    sumsq = q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
+    small = sumsq < 1e-18
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, sumsq))
+    angle = 2.0 * jnp.arctan2(sin_half, w)
+    scale = jnp.where(small, 2.0 + sumsq / 3.0, angle / sin_half)
+    return (q[1] * scale, q[2] * scale, q[3] * scale)
+
+
+def _qconj(q):
+    return (q[0], -q[1], -q[2], -q[3])
+
+
 # --- topology extraction (host side, all python floats) ---------------------
 
 
@@ -175,6 +244,26 @@ class _Topo:
         self.body_joints = [[] for _ in range(model.nbody)]
         for j, b in enumerate(self.jnt_bodyid):
             self.body_joints[b].append(j)
+        # geoms / sites / contact pairs (for FK products + narrow phase)
+        self.ngeom = model.ngeom
+        self.nsite = model.nsite
+        self.geom_bodyid = [int(b) for b in np.asarray(model.geom_bodyid)] \
+            if model.ngeom else []
+        self.geom_type = [int(t) for t in np.asarray(model.geom_type)] \
+            if model.ngeom else []
+        self.geom_pos = f(model.geom_pos) if model.ngeom else None
+        self.geom_quat = f(model.geom_quat) if model.ngeom else None
+        self.geom_size = f(model.geom_size) if model.ngeom else None
+        self.geom_solref = f(model.geom_solref) if model.ngeom else None
+        self.geom_solimp = f(model.geom_solimp) if model.ngeom else None
+        self.geom_friction = f(model.geom_friction) if model.ngeom else None
+        self.geom_margin = f(model.geom_margin) if model.ngeom else None
+        self.site_bodyid = [int(b) for b in np.asarray(model.site_bodyid)] \
+            if model.nsite else []
+        self.site_pos = f(model.site_pos) if model.nsite else None
+        self.site_quat = f(model.site_quat) if model.nsite else None
+        self.contact_pairs = tuple(model.contact_pairs)
+        self.body_invweight0 = f(model.body_invweight0)
 
 
 def _fk_registers(T: _Topo, q):
@@ -195,10 +284,26 @@ def _fk_registers(T: _Topo, q):
         xp = _vadd(xpos[p], _qrot(xquat[p], bp))
         for j in T.body_joints[b]:
             qadr, dadr = T.jnt_qposadr[j], T.jnt_dofadr[j]
+            jt = T.jnt_type[j]
+            if jt == FREE:
+                # global pose (fk.py FREE branch): world-aligned linear
+                # dofs, child-frame rotational axes about the body origin
+                xp = (q[qadr], q[qadr + 1], q[qadr + 2])
+                xq = _qnorm(
+                    (q[qadr + 3], q[qadr + 4], q[qadr + 5], q[qadr + 6])
+                )
+                for k in range(3):
+                    e = tuple(1.0 if m == k else 0.0 for m in range(3))
+                    cdof[dadr + k] = (0.0, 0.0, 0.0) + e
+                R = _qmat(xq)
+                for k in range(3):
+                    a = (R[0][k], R[1][k], R[2][k])
+                    cdof[dadr + 3 + k] = a + _vcross(xp, a)
+                continue
             ja = tuple(T.jnt_axis[j])
             jp = tuple(T.jnt_pos[j])
             ang = q[qadr] - T.qpos0[qadr]
-            if T.jnt_type[j] == HINGE:
+            if jt == HINGE:
                 anchor = _vadd(_qrot(xq, jp), xp)
                 half = 0.5 * ang
                 qloc = (jnp.cos(half),) + _vscale(ja, jnp.sin(half))
@@ -213,6 +318,11 @@ def _fk_registers(T: _Topo, q):
         xpos.append(xp)
         xquat.append(xq)
     return xpos, xquat, cdof
+
+
+def _joint_dofs(T: _Topo, j):
+    w = 6 if T.jnt_type[j] == FREE else 1
+    return list(range(T.jnt_dofadr[j], T.jnt_dofadr[j] + w))
 
 
 def _spatial_inertia(T: _Topo, b, xpos_b, xquat_b):
@@ -317,7 +427,8 @@ def _smooth_force_and_M(T: _Topo, q, v, u):
     # dof -> body, dof ancestors (host constants)
     dof_body = [None] * T.nv
     for j in range(len(T.jnt_type)):
-        dof_body[T.jnt_dofadr[j]] = T.jnt_bodyid[j]
+        for i in _joint_dofs(T, j):
+            dof_body[i] = T.jnt_bodyid[j]
 
     # M[i][j] = cdof_i . crb[body(j)] cdof_j for i ancestor-dof of body(j)
     M = [[0.0] * T.nv for _ in range(T.nv)]
@@ -342,10 +453,13 @@ def _smooth_force_and_M(T: _Topo, q, v, u):
     for b in range(1, T.nbody):
         acc = cvel[T.parent[b]]
         for j in T.body_joints[b]:
-            acc = tuple(a + d for a, d in zip(acc, cdof_v[T.jnt_dofadr[j]]))
+            for i in _joint_dofs(T, j):
+                acc = tuple(a + d for a, d in zip(acc, cdof_v[i]))
         cvel[b] = acc
-    # cvel_pre(i): velocity of everything STRICTLY before dof i
-    # (parent body velocity plus earlier dofs of the same body)
+    # cdofdot rules (model._path_dofs dotmask semantics):
+    #   hinge/slide dof i: cross with everything STRICTLY before i;
+    #   free translation dofs: world-fixed axes, derivative zero;
+    #   free rotation dofs: body-fixed axes, cross with the FULL body twist.
     g = [float(x) for x in T.gravity]
     a0 = (0.0, 0.0, 0.0, -g[0], -g[1], -g[2])
     cacc = [a0] * T.nbody
@@ -354,12 +468,26 @@ def _smooth_force_and_M(T: _Topo, q, v, u):
         pre = cvel[T.parent[b]]
         acc_b = cacc[T.parent[b]]
         for j in T.body_joints[b]:
-            i = T.jnt_dofadr[j]
-            cdofdot[i] = _cross_motion(pre, cdof[i])
-            acc_b = tuple(
-                a + d * v[i] for a, d in zip(acc_b, cdofdot[i])
-            )
-            pre = tuple(p + d for p, d in zip(pre, cdof_v[i]))
+            if T.jnt_type[j] == FREE:
+                dofs = _joint_dofs(T, j)
+                full = pre
+                for i in dofs:
+                    full = tuple(p + d for p, d in zip(full, cdof_v[i]))
+                for i in dofs[:3]:
+                    cdofdot[i] = zero6
+                for i in dofs[3:]:
+                    cdofdot[i] = _cross_motion(full, cdof[i])
+                    acc_b = tuple(
+                        a + d * v[i] for a, d in zip(acc_b, cdofdot[i])
+                    )
+                pre = full
+            else:
+                i = T.jnt_dofadr[j]
+                cdofdot[i] = _cross_motion(pre, cdof[i])
+                acc_b = tuple(
+                    a + d * v[i] for a, d in zip(acc_b, cdofdot[i])
+                )
+                pre = tuple(p + d for p, d in zip(pre, cdof_v[i]))
         cacc[b] = acc_b
 
     # per-body force, accumulated up the tree; bias_i = cdof_i . F_subtree
@@ -384,7 +512,7 @@ def _smooth_force_and_M(T: _Topo, q, v, u):
     passive = [-float(T.dof_damping[i]) * v[i] for i in range(T.nv)]
     for j in range(len(T.jnt_type)):
         k = float(T.jnt_stiffness[j])
-        if k != 0.0:
+        if k != 0.0 and T.jnt_type[j] in (HINGE, SLIDE):
             qa, da = T.jnt_qposadr[j], T.jnt_dofadr[j]
             passive[da] = passive[da] - k * (
                 q[qa] - float(T.qpos_spring[qa])
@@ -404,7 +532,7 @@ def _smooth_force_and_M(T: _Topo, q, v, u):
     qfrc_smooth = [
         passive[i] + qfrc_act[i] - bias[i] for i in range(T.nv)
     ]
-    return qfrc_smooth, M
+    return qfrc_smooth, M, {"xpos": xpos, "xquat": xquat, "cdof": cdof}
 
 
 def _impedance_reg(solimp, pos):
@@ -424,11 +552,14 @@ _ALPHA_LADDER = (1.0, 0.5, 0.25, 0.1, 0.04, 0.01)
 
 
 def _limit_rows_regs(T: _Topo, q, v):
-    """Joint-limit constraint rows (contact._limit_rows semantics):
-    returns per-row (dof index, sign, aref register, invR register)."""
+    """Joint-limit constraint rows (contact._limit_rows semantics).
+
+    Row format (shared with contact rows): (dofs, coeffs, aref, invR) where
+    `dofs` is a static tuple of supported dof indices and `coeffs` the
+    matching J-entries (registers or python floats)."""
     rows = []
     for j in range(len(T.jnt_type)):
-        if not T.jnt_limited[j]:
+        if not T.jnt_limited[j] or T.jnt_type[j] not in (HINGE, SLIDE):
             continue
         qa, da = T.jnt_qposadr[j], T.jnt_dofadr[j]
         lo, hi = float(T.jnt_range[j][0]), float(T.jnt_range[j][1])
@@ -447,42 +578,297 @@ def _limit_rows_regs(T: _Topo, q, v):
             R = jnp.maximum(
                 (1.0 - d) / jnp.maximum(d, 1e-6), 1e-9
             ) * inv_w
-            rows.append((da, sign, aref, include / R))
+            rows.append(((da,), (sign,), aref, include / R))
     return rows
 
 
-def _solve_limits(T: _Topo, M, a0, rows):
-    """Projected-Newton solve of the limit-only soft-constraint problem
-    (contact.solve_constraints with J rows = +-e_da, cold start, 8 iters).
+# --- narrow phase on registers (collision.py formulas, lane-last) -----------
+
+
+def _frame_from_normal_reg(n):
+    """(normal, t1, t2) rows from a register unit normal
+    (collision._frame_from_normal)."""
+    cond = jnp.abs(n[0]) < 0.5
+    one = jnp.where(cond, 1.0, 0.0)
+    ref = (one, 1.0 - one, jnp.zeros_like(n[0]))
+    t1 = _vcross(n, ref)
+    t1n = jnp.maximum(
+        jnp.sqrt(t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2]), 1e-12
+    )
+    t1 = tuple(x / t1n for x in t1)
+    t2 = _vcross(n, t1)
+    return (n, t1, t2)
+
+
+def _sphere_sphere_core_reg(p1, r1, p2, r2):
+    d = _vsub(p2, p1)
+    L = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    safeL = jnp.maximum(L, 1e-9)
+    deg = L < 1e-9
+    n = (
+        jnp.where(deg, 0.0, d[0] / safeL),
+        jnp.where(deg, 0.0, d[1] / safeL),
+        jnp.where(deg, 1.0, d[2] / safeL),
+    )
+    dist = L - r1 - r2
+    pos = _vadd(p1, _vscale(n, r1 + 0.5 * dist))
+    return dist, pos, n
+
+
+def _closest_seg_point_reg(a0, a1, p):
+    d = _vsub(a1, a0)
+    t = _vdot(_vsub(p, a0), d) / jnp.maximum(_vdot(d, d), 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    return _vadd(a0, _vscale(d, t))
+
+
+def _closest_seg_seg_reg(p0, p1, q0, q1):
+    d1 = _vsub(p1, p0)
+    d2 = _vsub(q1, q0)
+    r = _vsub(p0, q0)
+    a = _vdot(d1, d1)
+    e = _vdot(d2, d2)
+    f = _vdot(d2, r)
+    c = _vdot(d1, r)
+    b = _vdot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(
+        denom > 1e-12,
+        jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0),
+        0.0,
+    )
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    return _vadd(p0, _vscale(d1, s)), _vadd(q0, _vscale(d2, t_cl))
+
+
+def _collide_regs(t1, t2, xp1, xm1, s1, xp2, xm2, s2):
+    """Slots (dist, pos, frame) for one geom pair; normals geom1 -> geom2.
+
+    xm* are 3x3 register rotation matrices (columns = frame axes); s* python
+    float size rows.  Mirrors collision.py's fixed slot counts."""
+    def col(M, k):
+        return (M[0][k], M[1][k], M[2][k])
+
+    if (t1, t2) == (GEOM_PLANE, GEOM_SPHERE):
+        n = col(xm1, 2)
+        r = s1_r = float(s2[0])
+        cdist = _vdot(n, _vsub(xp2, xp1))
+        dist = cdist - r
+        pos = _vsub(xp2, _vscale(n, r + 0.5 * dist))
+        return [(dist, pos, _frame_from_normal_reg(n))]
+    if (t1, t2) == (GEOM_PLANE, GEOM_CAPSULE):
+        n = col(xm1, 2)
+        r, hl = float(s2[0]), float(s2[1])
+        axis = col(xm2, 2)
+        out = []
+        for sgn in (1.0, -1.0):
+            e = _vadd(xp2, _vscale(axis, hl * sgn))
+            cdist = _vdot(n, _vsub(e, xp1))
+            dist = cdist - r
+            pos = _vsub(e, _vscale(n, r + 0.5 * dist))
+            out.append((dist, pos, _frame_from_normal_reg(n)))
+        return out
+    if (t1, t2) == (GEOM_PLANE, GEOM_CYLINDER):
+        # 3 rim points of the closer cap (collision.plane_cylinder)
+        n = col(xm1, 2)
+        r, hl = float(s2[0]), float(s2[1])
+        axis = col(xm2, 2)
+        sign = -jnp.sign(_vdot(axis, n))
+        sign = jnp.where(sign == 0, 1.0, sign)
+        cap = _vadd(xp2, _vscale(axis, hl * sign))
+        rad = _vsub(n, _vscale(axis, _vdot(axis, n)))
+        rad_norm = jnp.sqrt(jnp.maximum(_vdot(rad, rad), 1e-24))
+        aligned = rad_norm < 1e-9
+        x0 = col(xm2, 0)
+        rad = tuple(
+            jnp.where(aligned, x0[k], -rad[k] / jnp.maximum(rad_norm, 1e-9))
+            for k in range(3)
+        )
+        t = _vcross(axis, rad)
+        pts = [
+            _vadd(cap, _vscale(rad, r)),
+            _vadd(_vadd(cap, _vscale(rad, -0.5 * r)), _vscale(t, 0.866 * r)),
+            _vadd(_vadd(cap, _vscale(rad, -0.5 * r)), _vscale(t, -0.866 * r)),
+        ]
+        out = []
+        for p in pts:
+            d = _vdot(n, _vsub(p, xp1))
+            out.append(
+                (d, _vsub(p, _vscale(n, 0.5 * d)), _frame_from_normal_reg(n))
+            )
+        return out
+    if (t1, t2) == (GEOM_SPHERE, GEOM_SPHERE):
+        dist, pos, n = _sphere_sphere_core_reg(
+            xp1, float(s1[0]), xp2, float(s2[0])
+        )
+        return [(dist, pos, _frame_from_normal_reg(n))]
+    if (t1, t2) in ((GEOM_SPHERE, GEOM_CAPSULE), (GEOM_SPHERE, GEOM_CYLINDER)):
+        axis = col(xm2, 2)
+        hl = float(s2[1])
+        c = _closest_seg_point_reg(
+            _vsub(xp2, _vscale(axis, hl)), _vadd(xp2, _vscale(axis, hl)), xp1
+        )
+        dist, pos, n = _sphere_sphere_core_reg(
+            xp1, float(s1[0]), c, float(s2[0])
+        )
+        return [(dist, pos, _frame_from_normal_reg(n))]
+    if (t1, t2) in (
+        (GEOM_CAPSULE, GEOM_CAPSULE),
+        (GEOM_CAPSULE, GEOM_CYLINDER),
+        (GEOM_CYLINDER, GEOM_CYLINDER),
+    ):
+        # cylinders as equal-radius capsules for lateral contact
+        # (collision.py dispatch note)
+        a_axis = _vscale(col(xm1, 2), float(s1[1]))
+        b_axis = _vscale(col(xm2, 2), float(s2[1]))
+        pa, pb = _closest_seg_seg_reg(
+            _vsub(xp1, a_axis), _vadd(xp1, a_axis),
+            _vsub(xp2, b_axis), _vadd(xp2, b_axis),
+        )
+        dist, pos, n = _sphere_sphere_core_reg(
+            pa, float(s1[0]), pb, float(s2[0])
+        )
+        return [(dist, pos, _frame_from_normal_reg(n))]
+    raise NotImplementedError(f"lane collider for geom types ({t1}, {t2})")
+
+
+def _pair_slots_regs(T: _Topo, g1, g2, xpos, xquat):
+    """World-frame slots for a contact pair, normals g1 -> g2."""
+    def geom_pose(g):
+        b = T.geom_bodyid[g]
+        gq = _qmul(xquat[b], tuple(T.geom_quat[g]))
+        gp = _vadd(xpos[b], _qrot(xquat[b], tuple(T.geom_pos[g])))
+        return gp, _qmat(gq)
+
+    t1, t2 = T.geom_type[g1], T.geom_type[g2]
+    p1, m1 = geom_pose(g1)
+    p2, m2 = geom_pose(g2)
+    try:
+        return _collide_regs(
+            t1, t2, p1, m1, T.geom_size[g1], p2, m2, T.geom_size[g2]
+        )
+    except NotImplementedError:
+        slots = _collide_regs(
+            t2, t1, p2, m2, T.geom_size[g2], p1, m1, T.geom_size[g1]
+        )
+        # flip normals to keep geom1 -> geom2 orientation
+        return [
+            (d, p, (tuple(-x for x in fr[0]), fr[1], fr[2]))
+            for (d, p, fr) in slots
+        ]
+
+
+def _contact_rows_regs(T: _Topo, q, v, xpos, xquat, cdof):
+    """Pyramidal contact rows for every candidate slot
+    (contact._contact_rows semantics: MuJoCo default parameter mixing,
+    R = (1-d)/d (invw1+invw2) 2 mu^2 (1+mu^2), rows Jn +- mu Jt)."""
+    rows = []
+    for (g1, g2) in T.contact_pairs:
+        b1, b2 = T.geom_bodyid[g1], T.geom_bodyid[g2]
+        solref = 0.5 * (T.geom_solref[g1] + T.geom_solref[g2])
+        solimp = 0.5 * (T.geom_solimp[g1] + T.geom_solimp[g2])
+        friction = np.maximum(T.geom_friction[g1], T.geom_friction[g2])
+        margin = float(max(T.geom_margin[g1], T.geom_margin[g2]))
+        mu0 = float(friction[0])
+        inv_mass = float(T.body_invweight0[b1][0] + T.body_invweight0[b2][0])
+        dmax = float(solimp[1])
+        tc = max(float(solref[0]), 1e-8)
+        dr = max(float(solref[1]), 1e-8)
+        b_const = 2.0 / (dmax * tc)
+        # support dofs: on exactly one of the two bodies' root paths
+        support = [
+            i for i in range(T.nv)
+            if bool(T.anc[b2, i]) != bool(T.anc[b1, i])
+        ]
+        mrel = {
+            i: (1.0 if T.anc[b2, i] else 0.0) - (1.0 if T.anc[b1, i] else 0.0)
+            for i in support
+        }
+        for (dist, pos, frame) in _pair_slots_regs(T, g1, g2, xpos, xquat):
+            include = (dist < margin).astype(dist.dtype)
+            imp_pos = dist - margin
+            d_imp = _impedance_reg(solimp, imp_pos)
+            k = d_imp / (dmax * dmax * tc * tc * dr * dr)
+            Jn, Jt1, Jt2 = [], [], []
+            for i in support:
+                w = cdof[i][:3]
+                vl = cdof[i][3:]
+                jac = _vscale(_vadd(vl, _vcross(w, pos)), mrel[i])
+                Jn.append(_vdot(frame[0], jac))
+                Jt1.append(_vdot(frame[1], jac))
+                Jt2.append(_vdot(frame[2], jac))
+            R_slot = (
+                jnp.maximum((1.0 - d_imp) / jnp.maximum(d_imp, 1e-6), 1e-9)
+                * max(inv_mass, 1e-9)
+                * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
+            )
+            invR = include / R_slot
+            for Jt in (Jt1, Jt2):
+                for sgn in (1.0, -1.0):
+                    coeffs = tuple(
+                        Jn[m] + sgn * mu0 * Jt[m] for m in range(len(support))
+                    )
+                    vel = sum(
+                        c * v[i] for c, i in zip(coeffs, support)
+                    )
+                    aref = -b_const * vel - k * imp_pos
+                    rows.append((tuple(support), coeffs, aref, invR))
+    return rows
+
+
+def _solve_rows(M, a0, rows, n_iters):
+    """Projected-Newton solve of the soft-constraint problem on generic
+    rows (contact.solve_constraints semantics: cold start, fixed iteration
+    count, shared-expansion merit line search over the alpha ladder).
 
     Returns (x regs, qfrc_constraint regs).  Differentiable by plain jacfwd:
-    the iteration is cold-started and converges well within the budget, so
-    the tangent recursion is converged too (the warmstart caveat in
-    contact._newton_solver does not apply)."""
+    cold-started iterations converge well inside the budget, so the tangent
+    recursion is converged too (the warmstart caveat in
+    contact._newton_solver does not apply).
+
+    The iteration loop is a lax.scan (body traced ONCE): the unrolled body
+    is ~10-20k elementwise ops for an arm-scale model, and unrolling 8x
+    produces MLIR large enough to stall/kill the TPU compiler."""
     nv = len(a0)
-    x = list(a0)
-    for _ in range(_LIMIT_NEWTON_ITERS):
-        ys = [sign * x[da] - aref for (da, sign, aref, _) in rows]
+
+    def newton_iter(x_stack, _):
+        x = [x_stack[i] for i in range(nv)]
+        ys = [
+            sum(c * x[d] for d, c in zip(dofs, coeffs)) - aref
+            for (dofs, coeffs, aref, _) in rows
+        ]
         gates = [
             (y < 0).astype(y.dtype) * invR
             for y, (_, _, _, invR) in zip(ys, rows)
         ]
         e = [x[i] - a0[i] for i in range(nv)]
-        Me = [
-            sum(M[i][j] * e[j] for j in range(nv)) for i in range(nv)
-        ]
+        Me = [sum(M[i][j] * e[j] for j in range(nv)) for i in range(nv)]
         grad = list(Me)
-        for (da, sign, _, _), y, g in zip(rows, ys, gates):
-            grad[da] = grad[da] + sign * (g * y)
+        for (dofs, coeffs, _, _), y, g in zip(rows, ys, gates):
+            gy = g * y
+            for d, c in zip(dofs, coeffs):
+                grad[d] = grad[d] + c * gy
         H = [row[:] for row in M]
-        for (da, _, _, _), g in zip(rows, gates):
-            H[da][da] = H[da][da] + g
+        for (dofs, coeffs, _, _), g in zip(rows, gates):
+            for m1 in range(len(dofs)):
+                gc = g * coeffs[m1]
+                for m2 in range(m1, len(dofs)):
+                    d1, d2 = dofs[m1], dofs[m2]
+                    val = gc * coeffs[m2]
+                    H[d1][d2] = H[d1][d2] + val
+                    if d1 != d2:
+                        H[d2][d1] = H[d2][d1] + val
+        for i in range(nv):
+            H[i][i] = H[i][i] + 1e-10  # contact._newton_iterations jitter
         dx = [-z for z in _chol_solve_regs(H, grad)]
         # shared-expansion line search on the merit (contact.py ladder)
-        Jdx = [sign * dx[da] for (da, sign, _, _) in rows]
-        Mdx = [
-            sum(M[i][j] * dx[j] for j in range(nv)) for i in range(nv)
+        Jdx = [
+            sum(c * dx[d] for d, c in zip(dofs, coeffs))
+            for (dofs, coeffs, _, _) in rows
         ]
+        Mdx = [sum(M[i][j] * dx[j] for j in range(nv)) for i in range(nv)]
         eMe = sum(e[i] * Me[i] for i in range(nv))
         eMdx = sum(e[i] * Mdx[i] for i in range(nv))
         dMd = sum(dx[i] * Mdx[i] for i in range(nv))
@@ -507,35 +893,100 @@ def _solve_limits(T: _Topo, M, a0, rows):
             best_c = jnp.where(take, c, best_c)
             best_a = jnp.where(take, a, best_a)
         alpha = jnp.where(best_c < c0, best_a, 0.0)
-        x = [x[i] + alpha * dx[i] for i in range(nv)]
+        return jnp.stack([x[i] + alpha * dx[i] for i in range(nv)]), None
 
-    ys = [sign * x[da] - aref for (da, sign, aref, _) in rows]
+    x_stack, _ = jax.lax.scan(
+        newton_iter, jnp.stack(a0), None, length=n_iters
+    )
+    x = [x_stack[i] for i in range(nv)]
+    ys = [
+        sum(c * x[d] for d, c in zip(dofs, coeffs)) - aref
+        for (dofs, coeffs, aref, _) in rows
+    ]
     qfrc = [jnp.zeros_like(x[0])] * nv
-    for (da, sign, _, invR), y in zip(rows, ys):
+    for (dofs, coeffs, _, invR), y in zip(rows, ys):
         f = -jnp.where(y < 0, y, 0.0) * invR
-        qfrc[da] = qfrc[da] + sign * f
+        for d, c in zip(dofs, coeffs):
+            qfrc[d] = qfrc[d] + c * f
     return x, qfrc
 
 
-def build_smooth_step(model: Model):
+def integrate_q_regs(T: _Topo, q, v_new, h):
+    """qpos' = qpos (+) h * qvel' — FREE-joint quaternions via the exp map
+    (integrate.integrate_pos: local-frame angular velocity, right-multiplied,
+    normalized)."""
+    q_new = list(q)
+    for j in range(len(T.jnt_type)):
+        qa, da = T.jnt_qposadr[j], T.jnt_dofadr[j]
+        if T.jnt_type[j] == FREE:
+            for k in range(3):
+                q_new[qa + k] = q[qa + k] + h * v_new[da + k]
+            quat = (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
+            w = (h * v_new[da + 3], h * v_new[da + 4], h * v_new[da + 5])
+            qn = _qnorm(_qmul(quat, _qexp_reg(w)))
+            for k in range(4):
+                q_new[qa + 3 + k] = qn[k]
+        else:
+            q_new[qa] = q[qa] + h * v_new[da]
+    return q_new
+
+
+def tangent_q_regs(T: _Topo, q, dz, scale=1.0):
+    """qpos (+) scale * dz on the tangent space (integrate_pos with a
+    tangent vector dz of nv registers)."""
+    return integrate_q_regs(T, q, dz, scale)
+
+
+def differentiate_q_regs(T: _Topo, q1, q2):
+    """Tangent v with q2 = q1 (+) v (mj_differentiatePos, dt = 1):
+    scalar dofs (q2-q1); free linear world-frame; free angular local-frame
+    quaternion log."""
+    out = [None] * T.nv
+    for j in range(len(T.jnt_type)):
+        qa, da = T.jnt_qposadr[j], T.jnt_dofadr[j]
+        if T.jnt_type[j] == FREE:
+            for k in range(3):
+                out[da + k] = q2[qa + k] - q1[qa + k]
+            qa1 = (q1[qa + 3], q1[qa + 4], q1[qa + 5], q1[qa + 6])
+            qa2 = (q2[qa + 3], q2[qa + 4], q2[qa + 5], q2[qa + 6])
+            w = _qlog_reg(_qmul(_qconj(qa1), qa2))
+            for k in range(3):
+                out[da + 3 + k] = w[k]
+        else:
+            out[da] = q2[qa] - q1[qa]
+    return out
+
+
+def build_smooth_step(model: Model, want_fk: bool = False):
     """step(qpos (nq, ...L), qvel (nv, ...L), ctrl (nu, ...L)) ->
-    (qpos', qvel') — lane-last, semantics identical to step.py's smooth path
-    (forward [+ joint-limit constraint solve] + implicit-damping Euler).
-    """
-    assert lanes_supported(model), "lane engine requires a smooth scalar model"
+    (qpos', qvel'[, fk]) — lane-last, semantics identical to step.py
+    (forward [+ joint-limit/contact constraint solve] + implicit-damping
+    Euler).  want_fk=True additionally returns a dict with stacked FK
+    products of the INPUT state (xpos (nbody,3,...L), site_xpos
+    (nsite,3,...L)) for residual evaluation, mirroring how the generic
+    rollout evaluates residuals on the forward()-filled Data."""
+    assert lanes_supported(model), "model outside lane-engine scope"
     T = _Topo(model)
     h = T.timestep
-    has_limits = any(T.jnt_limited)
+    has_limits = any(
+        T.jnt_limited[j] and T.jnt_type[j] in (HINGE, SLIDE)
+        for j in range(len(T.jnt_type))
+    )
+    has_constraints = has_limits or bool(T.contact_pairs)
 
     def step(qpos, qvel, ctrl):
         q = [qpos[i] for i in range(T.nq)]
         v = [qvel[i] for i in range(T.nv)]
         u = [ctrl[i] for i in range(T.nu)]
-        qfrc, M = _smooth_force_and_M(T, q, v, u)
-        if has_limits:
+        qfrc, M, fk = _smooth_force_and_M(T, q, v, u)
+        if has_constraints:
             a0 = _chol_solve_regs(M, qfrc)
             rows = _limit_rows_regs(T, q, v)
-            _, qfrc_con = _solve_limits(T, M, a0, rows)
+            if T.contact_pairs:
+                rows = rows + _contact_rows_regs(
+                    T, q, v, fk["xpos"], fk["xquat"], fk["cdof"]
+                )
+            _, qfrc_con = _solve_rows(M, a0, rows, _LIMIT_NEWTON_ITERS)
             qfrc = [qfrc[i] + qfrc_con[i] for i in range(T.nv)]
         # implicit joint damping: (M + h D) qacc = rhs  (step.py advance)
         MhD = [
@@ -547,7 +998,86 @@ def build_smooth_step(model: Model):
         ]
         qacc = _chol_solve_regs(MhD, qfrc)
         v_new = [v[i] + h * qacc[i] for i in range(T.nv)]
-        q_new = [q[i] + h * v_new[i] for i in range(T.nq)]
-        return jnp.stack(q_new), jnp.stack(v_new)
+        q_new = integrate_q_regs(T, q, v_new, h)
+        qp2 = jnp.stack(q_new)
+        qv2 = jnp.stack(v_new)
+        if not want_fk:
+            return qp2, qv2
+
+        def as_reg(c):
+            c = jnp.asarray(c, qpos.dtype)
+            return jnp.broadcast_to(c, qpos[0].shape)
+
+        xpos, xquat = fk["xpos"], fk["xquat"]
+        prods = {
+            "xpos": jnp.stack(
+                [jnp.stack([as_reg(c) for c in xpos[b]])
+                 for b in range(T.nbody)]
+            ),
+            "qpos": qpos,
+            "qvel": qvel,
+            "ctrl": ctrl,
+        }
+        if T.nsite:
+            sx = []
+            for s in range(T.nsite):
+                b = T.site_bodyid[s]
+                sp = _vadd(xpos[b], _qrot(xquat[b], tuple(T.site_pos[s])))
+                sx.append(jnp.stack([as_reg(c) for c in sp]))
+            prods["site_xpos"] = jnp.stack(sx)
+        return qp2, qv2, prods
 
     return step
+
+
+def build_fk_products(model: Model):
+    """fk(qpos (nq, ...L)) -> dict with xpos (nbody,3,...L) and site_xpos
+    (nsite,3,...L) — position-only FK for residual evaluation (the lane
+    analogue of tasks.base.residuals_at's forward_kinematics call)."""
+    assert lanes_supported(model)
+    T = _Topo(model)
+
+    def fk(qpos):
+        q = [qpos[i] for i in range(T.nq)]
+        xpos, xquat, _ = _fk_registers(T, q)
+
+        def as_reg(c):
+            c = jnp.asarray(c, qpos.dtype)
+            return jnp.broadcast_to(c, qpos[0].shape)
+
+        prods = {
+            "xpos": jnp.stack(
+                [jnp.stack([as_reg(c) for c in xpos[b]])
+                 for b in range(T.nbody)]
+            )
+        }
+        if T.nsite:
+            sx = []
+            for s in range(T.nsite):
+                b = T.site_bodyid[s]
+                sp = _vadd(xpos[b], _qrot(xquat[b], tuple(T.site_pos[s])))
+                sx.append(jnp.stack([as_reg(c) for c in sp]))
+            prods["site_xpos"] = jnp.stack(sx)
+        return prods
+
+    return fk
+
+
+def build_tangent_ops(model: Model):
+    """(apply, diff) array-level tangent ops for the lane solver:
+    apply(qpos (nq,...L), dz (nv,...L)) -> qpos (+) dz;
+    diff(q1, q2) -> (nv, ...L) with q2 = q1 (+) diff (mj_integratePos /
+    mj_differentiatePos semantics, quaternion-aware)."""
+    T = _Topo(model)
+
+    def apply_(qpos, dz):
+        q = [qpos[i] for i in range(T.nq)]
+        v = [dz[i] for i in range(T.nv)]
+        return jnp.stack(integrate_q_regs(T, q, v, 1.0))
+
+    def diff(qpos1, qpos2):
+        q1 = [qpos1[i] for i in range(T.nq)]
+        q2 = [qpos2[i] for i in range(T.nq)]
+        return jnp.stack(differentiate_q_regs(T, q1, q2))
+
+    return apply_, diff

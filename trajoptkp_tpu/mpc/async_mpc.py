@@ -103,7 +103,11 @@ class AsyncMPC:
         realtime: bool = False,
         num_steps_replan: int = 1,
         seed: int = 0,
-        resync_mode: str = "fixed1",  # "fixed1" (reference) | "opt_time"
+        # "fixed1" (the reference's final choice, `main.cpp:707`) |
+        # "opt_time" (replan latency in sim ticks) | "best_match" (the
+        # reference's computed-but-overridden nearest-state search,
+        # `main.cpp:687-707`)
+        resync_mode: str = "fixed1",
     ):
         self.task = task
         self.model = task.model
@@ -175,6 +179,19 @@ class AsyncMPC:
 
             if self.resync_mode == "opt_time":
                 idx = min(int(opt_ms / (self.dt * 1e3)), self.horizon - 1)
+            elif self.resync_mode == "best_match":
+                # best-matching-state search (`main.cpp:687-707`): start the
+                # new plan at the X_old index closest (L1 over the state
+                # vector) to the sim's CURRENT state — the plan was computed
+                # from a state the sim has since moved past
+                with self._state_lock:
+                    cur = np.concatenate([self._qpos, self._qvel])
+                X_old = np.concatenate(
+                    [np.asarray(res.traj.qpos), np.asarray(res.traj.qvel)],
+                    axis=1,
+                )
+                errs = np.abs(X_old[: self.horizon - 1] - cur[None]).sum(1)
+                idx = int(np.argmin(errs))
             else:
                 idx = 1  # reference hardcodes 1 (`main.cpp:707`)
             self.buffer.install(

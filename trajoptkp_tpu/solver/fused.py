@@ -37,6 +37,7 @@ class FusedState(NamedTuple):
     # keypoint config has auto_adjust=False
     adj_mask: jnp.ndarray       # (H, ndof) bool — next iteration's keypoints
     last_pct: jnp.ndarray       # (ndof,) last per-dof %derivs
+    overflow: jnp.ndarray       # () int32 — max jobs dropped by the budget
 
 
 class FusedResult(NamedTuple):
@@ -46,6 +47,11 @@ class FusedResult(NamedTuple):
     num_iterations: jnp.ndarray
     best_alpha: jnp.ndarray
     pct_derivs: jnp.ndarray
+    # max keypoint jobs dropped by the static budget across iterations
+    # (jobs_from_mask drops surplus deterministically, fd.py; nonzero means
+    # raise ILQRConfig.deriv_budget — the fused-path analogue of the host
+    # loop's overflow warning, ilqr.py optimise())
+    budget_overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
 
     @property
     def cost_reduction(self):
@@ -81,6 +87,14 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int,
             mask = state.adj_mask
         else:
             mask = generate_keypoints(kp_cfg, vel_sv, dt)
+        # budget-overflow guard (the host loop warns in ilqr.optimise;
+        # here jobs beyond the static budget are dropped deterministically
+        # by jobs_from_mask — surface the count instead of corrupting
+        # derivatives silently)
+        n_kp = jnp.sum(mask).astype(jnp.int32)
+        overflow = jnp.maximum(
+            state.overflow, jnp.maximum(n_kp - budget, 0)
+        )
         A, B, l_x, l_xx, l_u, l_uu, pct = compute_derivatives(
             task, traj, mask, budget, mode=cfg.deriv_mode, fd_eps=cfg.fd_eps,
             filtering=cfg.filtering, chunk_size=cfg.deriv_chunk,
@@ -128,6 +142,7 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int,
             pct_derivs=jnp.mean(pct),
             adj_mask=adj_mask,
             last_pct=pct,
+            overflow=overflow,
         )
 
     def optimise_fused(qpos0, qvel0, U0) -> FusedResult:
@@ -145,6 +160,7 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int,
             pct_derivs=jnp.zeros((), model.dtype),
             adj_mask=mask0,
             last_pct=percentage_derivs(mask0),
+            overflow=jnp.zeros((), jnp.int32),
         )
         state = jax.lax.while_loop(
             lambda s: jnp.logical_not(s.done) & (s.it < cfg.max_iterations),
@@ -158,6 +174,7 @@ def make_fused_optimise(task: Task, cfg: ILQRConfig, H: int,
             num_iterations=state.it,
             best_alpha=state.last_best_alpha,
             pct_derivs=state.pct_derivs,
+            budget_overflow=state.overflow,
         )
 
     return optimise_fused

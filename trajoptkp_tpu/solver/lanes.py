@@ -1,4 +1,4 @@
-"""Lane-last batched iLQR: the TPU throughput solver for smooth tasks.
+"""Lane-last batched iLQR: the TPU throughput solver.
 
 Companion to dynamics/lanes.py (see its module docstring for the layout
 argument): the ENTIRE optimisation — rollout, set-interval keypoint
@@ -11,12 +11,14 @@ Algorithm semantics match solver/batched.py (iLQR::Optimise with
 min_iterations == max_iterations, per-lane accept/reject + lambda re-raise,
 `/root/reference/src/Optimiser/iLQR.cpp:269-531`); numerics match to FP
 reassociation (tests/test_lanes_solver.py pins lane-solver cost reductions
-to the generic fused solver).
+to the generic solvers).
 
-Scope: smooth scalar-joint models (lanes_supported) with a full state vector
-and residual functions that read only qpos/qvel/ctrl slices (joint-space
-tasks: acrobot, pentabot-class chains, reaching).  set_interval keypoints
-(the SI_n baseline rows); other methods fall back to the generic solvers.
+Scope: lane-engine models (lanes_supported — incl. free-joint + primitive
+contact tasks like the panda pushes), reduced state vectors (sv.order
+selects tangent dofs, quaternion-aware), residual functions that read
+qpos/qvel/ctrl/xpos/site_xpos with lane-safe (axis=0) reductions, and
+set_interval keypoints (the SI_n baseline rows); other keypoint methods
+fall back to the generic solvers.
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dynamics.lanes import build_smooth_step, lanes_supported
+from ..dynamics.lanes import (build_fk_products, build_smooth_step,
+                              build_tangent_ops, lanes_supported)
 from ..dynamics.model import Data
 from ..tasks.base import Task, control_limits
 from .ilqr import ILQRConfig, default_alphas
@@ -46,35 +49,36 @@ class LaneBatchResult(NamedTuple):
 
 
 def lane_solver_supported(task: Task) -> bool:
-    """Lane solver covers this task: smooth scalar model, identity state
-    vector, set_interval keypoints, lane-safe residual function."""
+    """Lane solver covers this task: lane-engine model, full active mask,
+    set_interval keypoints, lane-safe residual function."""
     model, sv = task.model, task.sv
     if not lanes_supported(model):
         return False
-    if list(sv.order) != list(range(model.nv)):
+    if not bool(np.all(np.asarray(sv.active) > 0.5)):
         return False
     if task.keypoint_cfg is None or task.keypoint_cfg.name != "set_interval":
         return False
-    try:  # residual fn must trace on lane-last arrays
+    try:  # residual fn must trace on lane-last arrays + FK products
         dt = model.dtype
         data = Data(
             qpos=jnp.zeros((model.nq, 2), dt),
             qvel=jnp.zeros((model.nv, 2), dt),
             ctrl=jnp.zeros((model.nu, 2), dt),
             time=jnp.zeros((), dt),
+            xpos=jnp.zeros((model.nbody, 3, 2), dt),
+            site_xpos=jnp.zeros((model.nsite, 3, 2), dt),
         )
         r = jax.eval_shape(
             lambda d, t: task.residual_fn(model, d, t),
             data, jnp.zeros(task.residual_targets.shape + (1,), dt),
         )
-        return r.shape == task.residual_targets.shape + (2,)
+        return r.shape == (task.nres, 2)
     except Exception:
         return False
 
 
 def _si_keypoint_times(H: int, min_N: int):
-    """set_interval keypoint times (KeyPointGenerator.cpp:319-339): every
-    min_N steps plus the final step."""
+    """set_interval keypoint times (KeyPointGenerator.cpp:319-339)."""
     ts = list(range(0, H - 1, min_N))
     if ts[-1] != H - 1:
         ts.append(H - 1)
@@ -90,9 +94,12 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
     model, sv = task.model, task.sv
     assert lane_solver_supported(task), "task outside lane-solver scope"
     nq, nv, nu = model.nq, model.nv, model.nu
-    n = nv
+    n = sv.ndof
+    order = [int(i) for i in sv.order]
     dtype = model.dtype
-    step_l = build_smooth_step(model)
+    step_l = build_smooth_step(model, want_fk=True)
+    fk_l = build_fk_products(model)
+    tangent_apply, tangent_diff = build_tangent_ops(model)
     alphas_np = np.asarray(default_alphas(cfg.num_parallel_rollouts, dtype))
     n_alpha = len(alphas_np)
     w_run = np.asarray(task.weights, dtype=np.float64)
@@ -101,8 +108,8 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
     kp_times = _si_keypoint_times(H, task.keypoint_cfg.min_N)
     n_kp = len(kp_times)
     pct = 100.0 * n_kp / H
-    # shared prev/next keypoint index per time (static — SI mask is the same
-    # for every dof and lane), for the interpolation lerp
+    # shared prev/next keypoint index per time (static — the SI schedule is
+    # identical for every dof and lane), for the interpolation lerp
     prev = np.zeros(H, np.int32)
     nxt = np.zeros(H, np.int32)
     kset = set(kp_times.tolist())
@@ -120,10 +127,12 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         np.float64
     )
 
-    def residual_rows(qpos, qvel, ctrl, targets):
-        """targets broadcast-ready; returns (nres, ...L)."""
-        data = Data(qpos=qpos, qvel=qvel, ctrl=ctrl,
-                    time=jnp.zeros((), dtype))
+    def residual_rows(qpos, qvel, ctrl, targets, prods):
+        """targets broadcast-ready; prods from the lane FK; (nres, ...L)."""
+        data = Data(
+            qpos=qpos, qvel=qvel, ctrl=ctrl, time=jnp.zeros((), dtype),
+            xpos=prods["xpos"], site_xpos=prods.get("site_xpos"),
+        )
         return task.residual_fn(model, data, targets)
 
     def step_cost(r, t):
@@ -136,15 +145,23 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         w = w.reshape(w.shape[:1] + (1,) * extra + w.shape[1:])
         return jnp.sum(w * r * r, axis=0)
 
+    def scatter_tangent(z_pos):
+        """(n, ...) tangent at sv dofs -> (nv, ...) full-dof tangent."""
+        out = jnp.zeros((nv,) + z_pos.shape[1:], dtype)
+        return out.at[jnp.array(order)].set(z_pos)
+
+    def select_sv(full):
+        return full[jnp.array(order)]
+
     def rollout(qp0, qv0, U, targets):
         """U (H, nu, B) -> (qpos (H+1,nq,B), qvel (H+1,nv,B), costs (H,B))."""
 
         def body(carry, inp):
             qp, qv = carry
             u, t = inp
-            r = residual_rows(qp, qv, u, targets)
+            qp2, qv2, prods = step_l(qp, qv, u)
+            r = residual_rows(qp, qv, u, targets, prods)
             c = step_cost(r, t)
-            qp2, qv2 = step_l(qp, qv, u)
             return (qp2, qv2), (qp, qv, c)
 
         (qpN, qvN), (qps, qvs, costs) = jax.lax.scan(
@@ -158,80 +175,70 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         """A (H,2n,2n,B), B (H,2n,nu,B): exact jacfwd at the static SI
         keypoint times, lerped in between (InterpolateDerivatives semantics,
         KeyPointGenerator.cpp:840-954; with a shared SI schedule every dof
-        column interpolates identically, so the lerp is whole-matrix)."""
-        B_ = qpos.shape[-1]
-        qp_k = qpos[kp_times]            # (K, nq, B)
-        qv_k = qvel[kp_times]
-        u_k = U[kp_times]
-        # merge (K, B) into one lane axis, keeping B minor
-        qp_f = qp_k.transpose(1, 0, 2)   # (nq, K, B)
-        qv_f = qv_k.transpose(1, 0, 2)
-        u_f = u_k.transpose(1, 0, 2)
+        column interpolates identically, so the lerp is whole-matrix).
+        Tangent-space rows/columns per derivs/fd._tangent_out (quaternion
+        log/exp about the nominal next state)."""
+        qp_f = qpos[kp_times].transpose(1, 0, 2)   # (nq, K, B)
+        qv_f = qvel[kp_times].transpose(1, 0, 2)
+        u_f = U[kp_times].transpose(1, 0, 2)
+        step_plain = build_smooth_step(model)
+        qp_nom, qv_nom = step_plain(qp_f, qv_f, u_f)
 
         def g(z):
-            dq = jnp.zeros((nq,) + (1, 1), dtype).at[:n].set(
-                z[:n].reshape(n, 1, 1)
-            )
-            qp2, qv2 = step_l(
-                qp_f + dq,
-                qv_f + z[n : 2 * n].reshape(n, 1, 1),
+            dq = scatter_tangent(z[:n].reshape(n, 1, 1))
+            dv = scatter_tangent(z[n : 2 * n].reshape(n, 1, 1))
+            qp2, qv2 = step_plain(
+                tangent_apply(qp_f, dq),
+                qv_f + dv,
                 u_f + z[2 * n :].reshape(nu, 1, 1),
             )
-            return jnp.concatenate([qp2[:n] - qp_f[:n], qv2 - qv_f], axis=0)
+            dpos = select_sv(tangent_diff(qp_nom, qp2))
+            dvel = select_sv(qv2 - qv_nom)
+            return jnp.concatenate([dpos, dvel], axis=0)
 
         J = jax.jacfwd(g)(jnp.zeros((2 * n + nu,), dtype))
         # J: (2n, K, B, 2n+nu) -> (K, 2n, 2n+nu, B)
         J = J.transpose(1, 0, 3, 2)
         A_kp = J[:, :, : 2 * n]
         B_kp = J[:, :, 2 * n :]
-        # lerp across all times (keypoint times get w=0 -> exact values)
         wL = jnp.asarray(lerp_w, dtype)[:, None, None, None]
-        pidx = jnp.asarray(
-            np.searchsorted(kp_times, prev).astype(np.int32)
-        )
-        nidx = jnp.asarray(
-            np.searchsorted(kp_times, nxt).astype(np.int32)
-        )
+        pidx = jnp.asarray(np.searchsorted(kp_times, prev).astype(np.int32))
+        nidx = jnp.asarray(np.searchsorted(kp_times, nxt).astype(np.int32))
         A = A_kp[pidx] + wL * (A_kp[nidx] - A_kp[pidx])
         Bm = B_kp[pidx] + wL * (B_kp[nidx] - B_kp[pidx])
         return A, Bm
 
     def cost_expansion(qpos, qvel, U, targets):
-        """l_x (H,2n,B), l_xx (H,2n,2n,B), l_u, l_uu via Gauss-Newton on the
-        residual Jacobians (CostDerivativesFromResiduals,
-        ModelTranslator.cpp:552-583)."""
-
-        def g(z, qp, qv, u):
-            # scalar-joint models: nq == nv == n, tangent == plain offset
-            return residual_rows(
-                qp + z[:n].reshape(n, 1, 1),
-                qv + z[n : 2 * n].reshape(n, 1, 1),
-                u + z[2 * n :].reshape(nu, 1, 1),
-                targets[:, None, :],
-            )
-
+        """Gauss-Newton cost expansion from residual tangent Jacobians
+        (CostDerivativesFromResiduals, ModelTranslator.cpp:552-583)."""
         qp_f = qpos[:H].transpose(1, 0, 2)  # (nq, H, B)
         qv_f = qvel[:H].transpose(1, 0, 2)
         u_f = U.transpose(1, 0, 2)
+
+        def g(z):
+            dq = scatter_tangent(z[:n].reshape(n, 1, 1))
+            dv = scatter_tangent(z[n : 2 * n].reshape(n, 1, 1))
+            qp = tangent_apply(qp_f, dq)
+            qv = qv_f + dv
+            u = u_f + z[2 * n :].reshape(nu, 1, 1)
+            return residual_rows(qp, qv, u, targets[:, None, :], fk_l(qp))
+
         z0 = jnp.zeros((2 * n + nu,), dtype)
-        r = g(z0, qp_f, qv_f, u_f)                     # (nres, H, B)
-        rJ = jax.jacfwd(lambda z: g(z, qp_f, qv_f, u_f))(z0)
-        # rJ: (nres, H, B, 2n+nu)
+        r = g(z0)                                       # (nres, H, B)
+        rJ = jax.jacfwd(g)(z0)                          # (nres, H, B, 2n+nu)
         w = jnp.where(
             (jnp.arange(H) == H - 1)[:, None],
             jnp.asarray(w_term, dtype)[None, :],
             jnp.asarray(w_run, dtype)[None, :],
         ).T                                             # (nres, H)
-        wr = w[:, :, None] * r                          # (nres, H, B)
+        wr = w[:, :, None] * r
         l_z = 2.0 * jnp.einsum("rhb,rhbz->hzb", wr, rJ)
-        l_zz = 2.0 * jnp.einsum(
-            "rh,rhbz,rhby->hzyb", w, rJ, rJ
-        )
+        l_zz = 2.0 * jnp.einsum("rh,rhbz,rhby->hzyb", w, rJ, rJ)
         return (
-            l_z[:, : 2 * n],                 # l_x (H, 2n, B)
-            l_zz[:, : 2 * n, : 2 * n],       # l_xx
-            l_z[:, 2 * n :],                 # l_u
-            l_zz[:, 2 * n :, 2 * n :],       # l_uu
+            l_z[:, : 2 * n],
+            l_zz[:, : 2 * n, : 2 * n],
+            l_z[:, 2 * n :],
+            l_zz[:, 2 * n :, 2 * n :],
         )
 
     # ---- backward pass on registers ----------------------------------------
@@ -240,7 +247,7 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         """Riccati sweep (iLQR.cpp:535-634) with per-lane lambda."""
 
         def bp_step(carry, inp):
-            V_x, V_xx = carry                       # lists of regs
+            V_x, V_xx = carry
             A_t, B_t, lx_t, lxx_t, lu_t, luu_t = inp
             A_ = [[A_t[i, j] for j in range(2 * n)] for i in range(2 * n)]
             B_ = [[B_t[i, a] for a in range(nu)] for i in range(2 * n)]
@@ -289,7 +296,6 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
                 ]
                 for a in range(nu)
             ]
-            # chol(Q_uu + lambda I) + solves, unrolled on registers
             Lc = [[None] * nu for _ in range(nu)]
             for j in range(nu):
                 s = Q_uu[j][j] + lamb
@@ -358,8 +364,8 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
             dJ_t = sum(k_t[a] * Q_u[a] for a in range(nu)) + sum(
                 k_t[a] * Quu_k[a] for a in range(nu)
             )
-            k_out = jnp.stack(k_t)                       # (nu, B)
-            K_out = jnp.stack([jnp.stack(r) for r in K_t])  # (nu, 2n, B)
+            k_out = jnp.stack(k_t)
+            K_out = jnp.stack([jnp.stack(r) for r in K_t])
             return (V_x_n, V_xx_n), (k_out, K_out, dJ_t)
 
         V_x0 = [l_x[H - 1, i] for i in range(2 * n)]
@@ -371,13 +377,11 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         )
         valid = jnp.all(jnp.isfinite(k), axis=(0, 1)) & jnp.all(
             jnp.isfinite(K), axis=(0, 1, 2)
-        )                                                 # (B,)
+        )
         return k, K, jnp.sum(dJ, axis=0), valid
 
     def bp_lambda_loop(A, Bm, l_x, l_xx, l_u, l_uu, lamb):
-        """Per-lane lambda retry (iLQR.cpp:430-452,636-657): lanes whose
-        Cholesky failed re-raise lambda and re-run; converged lanes keep
-        their result (same lambda -> identical recompute)."""
+        """Per-lane lambda retry (iLQR.cpp:430-452,636-657)."""
 
         def update(lamb, valid):
             lam2 = jnp.where(
@@ -409,15 +413,22 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
     def forward_pass(qpos, qvel, U, costs_old, k, K, targets):
         """vmapped-by-broadcast line search: registers shaped (n_alpha, B)."""
         B_ = qpos.shape[-1]
-        al = jnp.asarray(alphas_np, dtype)[:, None]      # (n_alpha, 1)
+        al = jnp.asarray(alphas_np, dtype)[:, None]
         lo = jnp.asarray(limits[:, 0], dtype)
         hi = jnp.asarray(limits[:, 1], dtype)
 
         def body(carry, inp):
             qp, qv = carry                                # (nq, n_alpha, B)
             u_nom, qp_nom, qv_nom, k_t, K_t, t = inp
-            dx_pos = qp[:n] - qp_nom[:n][:, None, :]      # (n, n_alpha, B)
-            dx_vel = qv - qv_nom[:, None, :]
+            dx_pos = select_sv(
+                tangent_diff(
+                    jnp.broadcast_to(
+                        qp_nom[:, None, :], (nq, n_alpha, B_)
+                    ),
+                    qp,
+                )
+            )                                             # (n, n_alpha, B)
+            dx_vel = select_sv(qv - qv_nom[:, None, :])
             u = (
                 u_nom[:, None, :]
                 + al[None] * k_t[:, None, :]
@@ -426,12 +437,10 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
                 + jnp.einsum("uj...,j...->u...",
                              K_t[:, n :, None, :], dx_vel)
             )
-            u = jnp.clip(
-                u, lo.reshape(nu, 1, 1), hi.reshape(nu, 1, 1)
-            )
-            r = residual_rows(qp, qv, u, targets[:, None, :])
-            c = step_cost(r, t)                           # (n_alpha, B)
-            qp2, qv2 = step_l(qp, qv, u)
+            u = jnp.clip(u, lo.reshape(nu, 1, 1), hi.reshape(nu, 1, 1))
+            qp2, qv2, prods = step_l(qp, qv, u)
+            r = residual_rows(qp, qv, u, targets[:, None, :], prods)
+            c = step_cost(r, t)
             return (qp2, qv2), (qp, qv, u, c)
 
         qp0 = jnp.broadcast_to(qpos[0][:, None, :], (nq, n_alpha, B_))
@@ -440,29 +449,28 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
             body, (qp0, qv0),
             (U, qpos[:H], qvel[:H], k, K, jnp.arange(H)),
         )
-        total = jnp.sum(cs, axis=0)                       # (n_alpha, B)
-        best = jnp.argmin(total, axis=0)                  # (B,)
+        total = jnp.sum(cs, axis=0)
+        best = jnp.argmin(total, axis=0)
         best_cost = jnp.take_along_axis(total, best[None], axis=0)[0]
         accept = best_cost < costs_old
 
-        def pick(x):                                      # (H?, d, n_alpha, B)
+        def pick(x):
             idx = best.reshape((1,) * (x.ndim - 1) + (-1,))
             return jnp.take_along_axis(x, idx, axis=x.ndim - 2)[..., 0, :]
 
         qps_b = pick(jnp.concatenate([qps, qpN[None]], axis=0))
         qvs_b = pick(jnp.concatenate([qvs, qvN[None]], axis=0))
         us_b = pick(us)
-        cs_b = pick(cs)
-        return qps_b, qvs_b, us_b, cs_b, accept, best_cost
+        return qps_b, qvs_b, us_b, accept, best_cost
 
     # ---- full optimisation ---------------------------------------------------
 
     def run(qposB, qvelB, UB, targetsB) -> LaneBatchResult:
         B_ = UB.shape[0]
-        qp0 = qposB.T.astype(dtype)                      # (nq, B)
+        qp0 = qposB.T.astype(dtype)
         qv0 = qvelB.T.astype(dtype)
-        U0 = UB.transpose(1, 2, 0).astype(dtype)         # (H, nu, B)
-        targets = targetsB.T.astype(dtype)               # (ntar, B)
+        U0 = UB.transpose(1, 2, 0).astype(dtype)
+        targets = targetsB.T.astype(dtype)
 
         qpos, qvel, costs = rollout(qp0, qv0, U0, targets)
         initial = jnp.sum(costs, axis=0)
@@ -474,7 +482,7 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
             k, K, dJ, lamb, _ = bp_lambda_loop(
                 A, Bm, l_x, l_xx, l_u, l_uu, lamb
             )
-            qps_n, qvs_n, U_n, cs_n, accept, best_cost = forward_pass(
+            qps_n, qvs_n, U_n, accept, best_cost = forward_pass(
                 qpos, qvel, U, old_cost, k, K, targets
             )
             acc = accept.astype(dtype)

@@ -57,6 +57,14 @@ class Task:
     init_controls_fn: Optional[Callable] = struct.field(
         pytree_node=False, default=None
     )
+    # CreateInitSetupControls hook (`main.cpp:360-363`,
+    # `TwoDPushing.cpp:225-258`, `SweepMultiple.cpp:188`): fn(task, H,
+    # qpos0, qvel0, targets) -> (U_setup, qpos_end, qvel_end); the END state
+    # becomes the optimisation start.  None = no setup phase (the base-class
+    # default is an empty tape, `ModelTranslator.cpp:875-880`).
+    setup_controls_fn: Optional[Callable] = struct.field(
+        pytree_node=False, default=None
+    )
     model: Model = None
     sv: StateVector = None
     residual_targets: jnp.ndarray = None   # flat target array (layout per task)

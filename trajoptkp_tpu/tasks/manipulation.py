@@ -285,6 +285,15 @@ _SWEEP_OBJECTS = [  # Sweep_multiple.yaml bodies: startLinearPos x, y
 ]
 
 
+def _ee_setup_controls(task, H=1000, qpos0=None, qvel0=None, targets=None):
+    """CreateInitSetupControls for the sweep family (`SweepMultiple.cpp:188`
+    mirrors TwoDPushing's EE setup servo; BoxSweep/PlaceObject keep the empty
+    base-class tape)."""
+    from .pushing import create_init_setup_controls
+
+    return create_init_setup_controls(task, H, qpos0, qvel0, targets)
+
+
 def make_sweep_multiple(dtype=jnp.float64) -> Task:
     """Multi-object sweeping (SweepMultiple.cpp + Sweep_multiple.yaml):
     sweep the scoop and five cylinders past the goal line x = 0.8; cost is
@@ -325,6 +334,8 @@ def make_sweep_multiple(dtype=jnp.float64) -> Task:
     jvel_w = [0.1, 0.1, 0.1, 0.01, 0.0, 0.1, 0.0]
     return Task(
         init_controls_fn=_ee_init_controls,
+        setup_controls_fn=_ee_setup_controls,
+
         name="sweep_multiple",
         residual_names=tuple(f"{n}_x" for n, _, _ in _SWEEP_OBJECTS)
         + tuple(f"joint_{i}_vel" for i in range(7)),

@@ -131,23 +131,31 @@ def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
     )
 
     def residual_fn(dyn_model, data, targets):
+        # axis=0 reductions keep this lane-safe: arrays may carry trailing
+        # lane dims (solver/lanes.py evaluates residuals on (dim, ...L)
+        # registers); for unbatched (dim,) inputs the results are identical
+        extra = data.qpos.ndim - 1
         goal_pos = data.xpos[goal_body]
         r_goal = jnp.sqrt(
-            jnp.sum((goal_pos[:2] - targets[:2]) ** 2) + 1e-12
+            jnp.sum((goal_pos[:2] - targets[:2]) ** 2, axis=0) + 1e-12
         )
         gvel = data.qvel[goal_dadr : goal_dadr + 2]
-        r_vel = jnp.sqrt(jnp.sum(gvel * gvel) + 1e-12)
+        r_vel = jnp.sqrt(jnp.sum(gvel * gvel, axis=0) + 1e-12)
         r_obs = [
             jnp.sqrt(
                 jnp.sum(
-                    (data.xpos[b][:2] - obstacle_starts[i]) ** 2
+                    (
+                        data.xpos[b][:2]
+                        - obstacle_starts[i].reshape((2,) + (1,) * extra)
+                    ) ** 2,
+                    axis=0,
                 ) + 1e-12
             )
             for i, b in enumerate(obstacle_bodies)
         ]
         r_j5 = data.qvel[joint5_dadr]
         ee = data.site_xpos[ee_site]
-        r_reach = jnp.sqrt(jnp.sum((ee - goal_pos) ** 2) + 1e-12)
+        r_reach = jnp.sqrt(jnp.sum((ee - goal_pos) ** 2, axis=0) + 1e-12)
         return jnp.stack([r_goal, r_vel, *r_obs, r_j5, r_reach])
 
     def complete_fn(dyn_model, data, targets):
@@ -167,6 +175,7 @@ def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
     wt = [1000.0, 10.0] + [10.0] * num_obstacles + [0.1, 0.01]
     return Task(
         init_controls_fn=jacobian_ee_init_controls,
+        setup_controls_fn=create_init_setup_controls,
         name=f"push_{level}",
         residual_names=(
             "goal_pos", "goal_vel",
@@ -256,10 +265,7 @@ def jacobian_ee_init_controls(task: Task, horizon: int,
     if targets is not None:
         task = task.replace(residual_targets=targets)
     task = task.replace(qpos_start=qpos0, qvel_start=qvel0)
-    ee_site = model.site_names.index("ee")
-    site_body = model.site_bodyid[ee_site]
     dtype = model.dtype
-    gains = jnp.array([100.0, 100.0, 200.0, 80.0, 80.0, 80.0], dtype=dtype)
 
     data0 = Data(
         qpos=task.qpos_start,
@@ -271,15 +277,68 @@ def jacobian_ee_init_controls(task: Task, horizon: int,
 
     d0 = forward_kinematics(model, data0)
     path, angle = ee_waypoint_path(task, horizon, d0)
+    U, _, _ = _servo_along_path(task, path[:horizon], angle, qpos0, qvel0)
+    return U
 
-    # desired EE orientation (PushBaseClass.cpp:152-175)
+
+def create_init_setup_controls(task: Task, horizon: int = 1000,
+                               qpos0=None, qvel0=None, targets=None):
+    """CreateInitSetupControls (`TwoDPushing.cpp:225-258`,
+    `SweepMultiple.cpp:188`): servo the EE to a point 0.05 m BEHIND the
+    object along the push line at z=0.28 (EEWayPointsSetup,
+    `PushBaseClass.cpp:8-44`) over `horizon` steps; the resulting state is
+    the optimisation start (the reference copies the post-setup main_data
+    into master_reset_data, `main.cpp:360-363`, and the campaigns re-run it
+    per loaded scene, `GenTestingData.cpp:200`).
+
+    Returns (U_setup (H, nu), qpos_end, qvel_end)."""
+    model = task.model
+    if qpos0 is None:
+        qpos0 = task.qpos_start
+    if qvel0 is None:
+        qvel0 = task.qvel_start
+    if targets is not None:
+        task = task.replace(residual_targets=targets)
+    task = task.replace(qpos_start=qpos0, qvel_start=qvel0)
+    ee_site = model.site_names.index("ee")
+    dtype = model.dtype
+
+    data0 = Data(
+        qpos=qpos0, qvel=qvel0, ctrl=jnp.zeros((model.nu,), dtype),
+        time=jnp.zeros((), dtype),
+    )
+    from ..dynamics.fk import forward_kinematics
+
+    d0 = forward_kinematics(model, data0)
+    goal_body = model.body_names.index(task.push_object_body)
+    ee_start = d0.site_xpos[ee_site]
+    obj = d0.xpos[goal_body]
+    target = task.residual_targets[:2]
+    angle = jnp.arctan2(target[1] - obj[1], target[0] - obj[0])
+    end = jnp.stack([
+        obj[0] - 0.05 * jnp.cos(angle),
+        obj[1] - 0.05 * jnp.sin(angle),
+        jnp.asarray(0.28, dtype),
+    ])
+    ts = jnp.arange(horizon + 1, dtype=dtype)[:, None] / horizon
+    path = ee_start[None, :] + ts * (end - ee_start)[None, :]
+    return _servo_along_path(task, path[:horizon], angle, qpos0, qvel0)
+
+
+def _servo_along_path(task: Task, path, angle, qpos0, qvel0):
+    """JacobianEEControl core shared by init and setup phases; returns
+    (U, qpos_end, qvel_end)."""
+    model = task.model
+    dtype = model.dtype
+    ee_site = model.site_names.index("ee")
+    site_body = model.site_bodyid[ee_site]
+    gains = jnp.array([100.0, 100.0, 200.0, 80.0, 80.0, 80.0], dtype=dtype)
     a = angle - jnp.pi / 4
     a = jnp.where(a < -jnp.pi / 2, 2 * jnp.pi + a, a)
     x_axis = jnp.stack([jnp.cos(a), jnp.sin(a), jnp.zeros((), dtype)])
     z_axis = jnp.array([0.0, 0.0, -1.0], dtype=dtype)
     y_axis = jnp.cross(z_axis, x_axis)
-    rot = jnp.stack([x_axis, y_axis, z_axis], axis=1)
-    desired_quat = tm.mat_to_quat(rot)
+    desired_quat = tm.mat_to_quat(jnp.stack([x_axis, y_axis, z_axis], axis=1))
 
     def body(carry, target_point):
         qpos, qvel, dq = carry
@@ -290,29 +349,27 @@ def jacobian_ee_init_controls(task: Task, horizon: int,
         data = forward(model, data)
         ee_pos = data.site_xpos[ee_site]
         ee_quat = tm.mat_to_quat(data.site_xmat[ee_site])
-        # sign-align desired quat once (approximated per-step; same effect)
         dqs = jnp.where(jnp.dot(ee_quat, dq) < 0, -dq, dq)
-        quat_diff = tm.quat_mul(dqs, tm.quat_conj(ee_quat))
-        axis_diff = tm.quat_log(quat_diff)
-        err = jnp.concatenate([target_point - ee_pos, axis_diff])
-
-        # 6xnv site Jacobian -> arm columns only
+        err = jnp.concatenate([
+            target_point - ee_pos,
+            tm.quat_log(tm.quat_mul(dqs, tm.quat_conj(ee_quat))),
+        ])
         mask = model.ancestor_mask[site_body]
         w = data.cdof[:, :3]
         v = data.cdof[:, 3:]
-        jacp = (v + jnp.cross(w, jnp.broadcast_to(ee_pos, w.shape))) * mask[:, None]
-        jac = jnp.concatenate([jacp.T, (w * mask[:, None]).T], axis=0)  # (6, nv)
-        jac_arm = jac[:, :7]
-        jac_inv = jnp.linalg.pinv(jac_arm)
+        jacp = (
+            v + jnp.cross(w, jnp.broadcast_to(ee_pos, w.shape))
+        ) * mask[:, None]
+        jac = jnp.concatenate([jacp.T, (w * mask[:, None]).T], axis=0)
+        jac_inv = jnp.linalg.pinv(jac[:, :7])
         u = jac_inv @ (gains * err)
-        # gravity compensation on arm joints
         u = u + data.qfrc_bias[:7] / model.actuator_gear[:, 0]
         from ..dynamics.step import advance
 
         data = advance(model, forward(model, data.replace(ctrl=u)))
         return (data.qpos, data.qvel, dqs), u
 
-    (_, _, _), U = jax.lax.scan(
-        body, (task.qpos_start, task.qvel_start, desired_quat), path[:horizon]
+    (qp_end, qv_end, _), U = jax.lax.scan(
+        body, (qpos0, qvel0, desired_quat), path
     )
-    return U
+    return U, qp_end, qv_end
