@@ -48,6 +48,40 @@ def test_lane_step_matches_generic(make):
 
 
 @pytest.mark.slow
+def test_lane_step_matches_generic_push_contacts():
+    """Panda push (free joint + plane/cylinder + cylinder/cylinder contacts
+    + limits): the full lane constraint pipeline vs the generic engine on
+    contact-active states from a driven rollout."""
+    from trajoptkp_tpu.config.loader import make_task
+
+    task = make_task("pushing_no_clutter", dtype=jnp.float64)
+    model = task.model
+    assert lanes_supported(model)
+    step_l = build_smooth_step(model)
+
+    gstep = jax.jit(lambda a, b, c: step_state(model, a, b, c))
+    rng = np.random.default_rng(0)
+    u_seq = 0.3 * rng.standard_normal((60, model.nu))
+    qp_, qv_ = task.qpos_start, task.qvel_start
+    states = []
+    for t in range(60):
+        if t % 10 == 0 or t > 54:
+            states.append((np.asarray(qp_), np.asarray(qv_), u_seq[t]))
+        qp_, qv_ = gstep(qp_, qv_, jnp.asarray(u_seq[t]))
+    qp = jnp.asarray(np.stack([s[0] for s in states], axis=1))
+    qv = jnp.asarray(np.stack([s[1] for s in states], axis=1))
+    ct = jnp.asarray(np.stack([s[2] for s in states], axis=1))
+    qp2, qv2 = jax.jit(step_l)(qp, qv, ct)
+    ref = jax.vmap(
+        lambda a, b, c: step_state(model, a, b, c), in_axes=1, out_axes=1
+    )(qp, qv, ct)
+    np.testing.assert_allclose(np.asarray(qp2), np.asarray(ref[0]),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qv2), np.asarray(ref[1]),
+                               rtol=1e-8, atol=1e-9)
+
+
+@pytest.mark.slow
 def test_lane_step_matches_generic_with_limits():
     """Reaching (panda, 7 limited hinges): the lane engine's joint-limit
     projected-Newton solve must reproduce the generic constraint path."""

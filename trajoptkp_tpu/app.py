@@ -345,11 +345,20 @@ def _sync_mpc_campaign(task, cfg, args):
 def _async_mpc_campaign(task, cfg, args):
     from .bench import async_mpc_campaign
 
-    rng = np.random.default_rng(args.seed)
     N = min(args.num_scenes, 10)  # async trials are wall-clock serial
-    qpos = np.tile(np.asarray(task.qpos_start), (N, 1))
-    n_rj = min(task.model.nu, task.model.nq)
-    qpos[:, :n_rj] += 0.2 * rng.standard_normal((N, n_rj))
+    if args.scenes_dir:
+        # reference TestTasks scenes (TestingMPC loads them per trial,
+        # GenTestingData.cpp:376-383)
+        from .config.loader import load_scenes_for_task
+
+        qpos, _, _ = load_scenes_for_task(task, args.scenes_dir, N)
+        qpos = np.asarray(qpos)
+        N = qpos.shape[0]
+    else:
+        rng = np.random.default_rng(args.seed)
+        qpos = np.tile(np.asarray(task.qpos_start), (N, 1))
+        n_rj = min(task.model.nu, task.model.nq)
+        qpos[:, :n_rj] += 0.2 * rng.standard_normal((N, n_rj))
     out_dir = os.path.join(
         args.out_dir, f"{task.name}_async_mpc_{time.strftime('%Y%m%d_%H%M')}"
     )

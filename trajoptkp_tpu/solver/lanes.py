@@ -244,72 +244,52 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
     # ---- backward pass on registers ----------------------------------------
 
     def backward_pass(A, Bm, l_x, l_xx, l_u, l_uu, lamb):
-        """Riccati sweep (iLQR.cpp:535-634) with per-lane lambda."""
+        """Riccati sweep (iLQR.cpp:535-634) with per-lane lambda.
+
+        Small-matrix products use STACKED lane-last tensors (mul + reduce
+        over an inserted contraction axis; shapes like (2n,2n,B) keep the
+        lane axis minormost) — a handful of HLO ops per term instead of
+        O((2n)^3) unrolled registers, which at arm scale (2n=20) made the
+        traced graph large enough to stall the TPU compiler.  The nu x nu
+        Cholesky stays register-unrolled (nu <= ~7)."""
+
+        def mm(X, Y):
+            # (p, q, B) @ (q, r, B) -> (p, r, B), lane axis minormost
+            return jnp.sum(X[:, :, None, :] * Y[None, :, :, :], axis=1)
+
+        def mv(X, y):
+            # (p, q, B) @ (q, B) -> (p, B)
+            return jnp.sum(X * y[None, :, :], axis=1)
 
         def bp_step(carry, inp):
-            V_x, V_xx = carry
+            V_x, V_xx = carry                   # (2n, B), (2n, 2n, B)
             A_t, B_t, lx_t, lxx_t, lu_t, luu_t = inp
-            A_ = [[A_t[i, j] for j in range(2 * n)] for i in range(2 * n)]
-            B_ = [[B_t[i, a] for a in range(nu)] for i in range(2 * n)]
-            Q_x = [
-                lx_t[i] + sum(A_[k][i] * V_x[k] for k in range(2 * n))
-                for i in range(2 * n)
-            ]
-            Q_u = [
-                lu_t[a] + sum(B_[k][a] * V_x[k] for k in range(2 * n))
-                for a in range(nu)
-            ]
-            VA = [
-                [
-                    sum(V_xx[k][m] * A_[m][j] for m in range(2 * n))
-                    for j in range(2 * n)
-                ]
-                for k in range(2 * n)
-            ]
-            VB = [
-                [
-                    sum(V_xx[k][m] * B_[m][a] for m in range(2 * n))
-                    for a in range(nu)
-                ]
-                for k in range(2 * n)
-            ]
-            Q_xx = [
-                [
-                    lxx_t[i, j]
-                    + sum(A_[k][i] * VA[k][j] for k in range(2 * n))
-                    for j in range(2 * n)
-                ]
-                for i in range(2 * n)
-            ]
-            Q_ux = [
-                [
-                    sum(B_[k][a] * VA[k][j] for k in range(2 * n))
-                    for j in range(2 * n)
-                ]
-                for a in range(nu)
-            ]
-            Q_uu = [
-                [
-                    luu_t[a, b]
-                    + sum(B_[k][a] * VB[k][b] for k in range(2 * n))
-                    for b in range(nu)
-                ]
-                for a in range(nu)
-            ]
+            At_T = A_t.transpose(1, 0, 2)
+            Bt_T = B_t.transpose(1, 0, 2)
+            Q_x = lx_t + mv(At_T, V_x)
+            Q_u = lu_t + mv(Bt_T, V_x)
+            VA = mm(V_xx, A_t)                  # (2n, 2n, B)
+            VB = mm(V_xx, B_t)                  # (2n, nu, B)
+            Q_xx = lxx_t + mm(At_T, VA)
+            Q_ux = mm(Bt_T, VA)                 # (nu, 2n, B)
+            Q_uu = luu_t + mm(Bt_T, VB)         # (nu, nu, B)
+
+            # chol(Q_uu + lambda I) + solves, register-unrolled (nu small)
             Lc = [[None] * nu for _ in range(nu)]
             for j in range(nu):
-                s = Q_uu[j][j] + lamb
+                s = Q_uu[j, j] + lamb
                 for p in range(j):
                     s = s - Lc[j][p] * Lc[j][p]
                 Lc[j][j] = jnp.sqrt(s)
                 inv = 1.0 / Lc[j][j]
                 for i in range(j + 1, nu):
-                    s = Q_uu[i][j]
+                    s = Q_uu[i, j]
                     for p in range(j):
                         s = s - Lc[i][p] * Lc[j][p]
                     Lc[i][j] = s * inv
 
             def chol_solve(b):
+                """b: (nu, ...) stacked rhs -> solve rows."""
                 y = [None] * nu
                 for i in range(nu):
                     s = b[i]
@@ -322,55 +302,26 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
                     for p in range(i + 1, nu):
                         s = s - Lc[p][i] * x[p]
                     x[i] = s / Lc[i][i]
-                return x
+                return jnp.stack(x)
 
-            k_t = [-x for x in chol_solve(Q_u)]
-            K_t = [[None] * (2 * n) for _ in range(nu)]
-            for j in range(2 * n):
-                col = chol_solve([Q_ux[a][j] for a in range(nu)])
-                for a in range(nu):
-                    K_t[a][j] = -col[a]
-            Quu_k = [
-                sum(Q_uu[a][b] * k_t[b] for b in range(nu))
-                for a in range(nu)
-            ]
-            Quu_K = [
-                [
-                    sum(Q_uu[a][b] * K_t[b][j] for b in range(nu))
-                    for j in range(2 * n)
-                ]
-                for a in range(nu)
-            ]
-            V_x_n = [
-                Q_x[i]
-                + sum(K_t[a][i] * (Quu_k[a] + Q_u[a]) for a in range(nu))
-                + sum(Q_ux[a][i] * k_t[a] for a in range(nu))
-                for i in range(2 * n)
-            ]
-            V_xx_n = [
-                [
-                    Q_xx[i][j]
-                    + sum(K_t[a][i] * Quu_K[a][j] for a in range(nu))
-                    + sum(K_t[a][i] * Q_ux[a][j] for a in range(nu))
-                    + sum(Q_ux[a][i] * K_t[a][j] for a in range(nu))
-                    for j in range(2 * n)
-                ]
-                for i in range(2 * n)
-            ]
-            V_xx_n = [
-                [0.5 * (V_xx_n[i][j] + V_xx_n[j][i]) for j in range(2 * n)]
-                for i in range(2 * n)
-            ]
-            dJ_t = sum(k_t[a] * Q_u[a] for a in range(nu)) + sum(
-                k_t[a] * Quu_k[a] for a in range(nu)
+            k_t = -chol_solve(Q_u)              # (nu, B)
+            K_t = -chol_solve(Q_ux)             # (nu, 2n, B)
+            Quu_k = mv(Q_uu, k_t)
+            Quu_K = mm(Q_uu, K_t)
+            Kt_T = K_t.transpose(1, 0, 2)       # (2n, nu, B)
+            Qux_T = Q_ux.transpose(1, 0, 2)     # (2n, nu, B)
+            V_x_n = Q_x + mv(Kt_T, Quu_k + Q_u) + mv(Qux_T, k_t)
+            V_xx_n = (
+                Q_xx + mm(Kt_T, Quu_K) + mm(Kt_T, Q_ux) + mm(Qux_T, K_t)
             )
-            k_out = jnp.stack(k_t)
-            K_out = jnp.stack([jnp.stack(r) for r in K_t])
-            return (V_x_n, V_xx_n), (k_out, K_out, dJ_t)
+            V_xx_n = 0.5 * (V_xx_n + V_xx_n.transpose(1, 0, 2))
+            dJ_t = jnp.sum(k_t * Q_u, axis=0) + jnp.sum(
+                k_t * Quu_k, axis=0
+            )
+            return (V_x_n, V_xx_n), (k_t, K_t, dJ_t)
 
-        V_x0 = [l_x[H - 1, i] for i in range(2 * n)]
-        V_xx0 = [[l_xx[H - 1, i, j] for j in range(2 * n)]
-                 for i in range(2 * n)]
+        V_x0 = l_x[H - 1]
+        V_xx0 = l_xx[H - 1]
         (_, _), (k, K, dJ) = jax.lax.scan(
             bp_step, (V_x0, V_xx0), (A, Bm, l_x, l_xx, l_u, l_uu),
             reverse=True,
@@ -509,6 +460,69 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
             final_cost=final,
             num_iterations=jnp.full((B_,), cfg.max_iterations, jnp.int32),
             pct_derivs=jnp.full((B_,), pct, dtype),
+        )
+
+    run.phases = {
+        "rollout": rollout, "jacobians": jacobians,
+        "cost_expansion": cost_expansion, "bp": bp_lambda_loop,
+        "fp": forward_pass, "pct": pct,
+    }
+    return run
+
+
+def make_lane_phase_optimise(task: Task, cfg: ILQRConfig, H: int):
+    """Phase-split lane solver: the same lane-last phases as
+    make_lane_batch_optimise but compiled as FOUR small jitted programs with
+    a host iteration loop (batched.py structure).
+
+    Rationale: one fused arm-scale lane program (jacfwd + BP + line search
+    inside a fori body) produces MLIR big enough that the TPU compiler takes
+    the better part of an hour; the split programs compile in minutes each
+    and the 4-dispatch/iteration overhead is negligible against panda-scale
+    phase runtimes."""
+    inner = make_lane_batch_optimise(task, cfg, H)
+    ph = inner.phases
+    dtype = task.model.dtype
+
+    rollout_j = jax.jit(ph["rollout"])
+    jac_j = jax.jit(ph["jacobians"])
+    cost_j = jax.jit(ph["cost_expansion"])
+    bp_j = jax.jit(ph["bp"])
+    fp_j = jax.jit(ph["fp"])
+
+    def run(qposB, qvelB, UB, targetsB) -> LaneBatchResult:
+        B_ = UB.shape[0]
+        qp0 = qposB.T.astype(dtype)
+        qv0 = qvelB.T.astype(dtype)
+        U = UB.transpose(1, 2, 0).astype(dtype)
+        targets = targetsB.T.astype(dtype)
+        qpos, qvel, costs = rollout_j(qp0, qv0, U, targets)
+        initial = jnp.sum(costs, axis=0)
+        old_cost = initial
+        lamb = jnp.full((B_,), cfg.lambda_init, dtype)
+        for _ in range(cfg.max_iterations):
+            A, Bm = jac_j(qpos, qvel, U)
+            l_x, l_xx, l_u, l_uu = cost_j(qpos, qvel, U, targets)
+            k, K, dJ, lamb, _ = bp_j(A, Bm, l_x, l_xx, l_u, l_uu, lamb)
+            qps_n, qvs_n, U_n, accept, best_cost = fp_j(
+                qpos, qvel, U, old_cost, k, K, targets
+            )
+            acc = accept.astype(dtype)
+            qpos = acc * qps_n + (1.0 - acc) * qpos
+            qvel = acc * qvs_n + (1.0 - acc) * qvel
+            U = acc * U_n + (1.0 - acc) * U
+            old_cost = jnp.where(accept, best_cost, old_cost)
+            lamb = jnp.where(
+                accept, lamb,
+                jnp.clip(lamb * cfg.lambda_factor**2,
+                         cfg.min_lambda, cfg.max_lambda),
+            )
+        return LaneBatchResult(
+            ctrl=U.transpose(2, 0, 1),
+            initial_cost=initial,
+            final_cost=old_cost,
+            num_iterations=jnp.full((B_,), cfg.max_iterations, jnp.int32),
+            pct_derivs=jnp.full((B_,), ph["pct"], dtype),
         )
 
     return run
