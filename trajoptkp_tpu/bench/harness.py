@@ -145,12 +145,17 @@ def openloop_campaign(
         run_svr = jax.jit(jax.vmap(one_svr))
         batched = lambda qp, qv, U, tg: run_svr(qp, qv, U, tg, keys)
     elif batch_mode == "lane":
-        from ..solver.lanes import make_lane_batch_optimise
+        from ..solver.lanes import (make_lane_batch_optimise,
+                                    make_lane_phase_optimise)
 
-        # lane solver runs every lane for the full budget
-        run = jax.jit(make_lane_batch_optimise(
-            task, cfg.replace(min_iterations=cfg.max_iterations), H
-        ))
+        # lane solver runs every lane for the full budget; arm-scale models
+        # use the phase-split variant (one fused program takes the TPU
+        # compiler the better part of an hour at nv ~13)
+        lcfg = cfg.replace(min_iterations=cfg.max_iterations)
+        if task.model.nv > 6:
+            run = make_lane_phase_optimise(task, lcfg, H)
+        else:
+            run = jax.jit(make_lane_batch_optimise(task, lcfg, H))
         batched = lambda qp, qv, U, tg: run(qp, qv, U, tg)
     elif batch_mode == "phases":
         from ..solver.batched import make_batched_phase_optimise
