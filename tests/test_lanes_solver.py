@@ -51,6 +51,61 @@ def test_lane_solver_matches_batched_acrobot():
     assert agree.sum() >= B - 1, (r_lane, r_ref)
 
 
+def test_lane_solver_adaptive_jerk_matches_batched():
+    """AJ keypoints on the lane path (per-lane dynamic union times, per-dof
+    column lerp) == the generic batched solver's AJ schedule.  The two paths
+    share the keypoint algebra (keypoints/methods.py) but nothing else."""
+    from trajoptkp_tpu.tasks.toys import make_acrobot
+
+    task = make_acrobot(dtype=jnp.float64)
+    task = task.replace(
+        keypoint_cfg=task.keypoint_cfg.replace(
+            name="adaptive_jerk", min_N=5, max_N=50, auto_adjust=False
+        )
+    )
+    from trajoptkp_tpu.solver.lanes import lane_solver_supported as sup
+
+    assert sup(task)
+    H, B = 300, 6
+    cfg = ILQRConfig(max_iterations=8, min_iterations=8,
+                     deriv_mode="ad_time", deriv_chunk=64)
+    key = jax.random.PRNGKey(7)
+    qpB = task.qpos_start + 0.3 * jax.random.normal(
+        key, (B, task.model.nq), jnp.float64
+    )
+    qvB = jnp.zeros((B, task.model.nv), jnp.float64)
+    UB = jnp.zeros((B, H, task.model.nu), jnp.float64)
+    tgB = jnp.tile(task.residual_targets, (B, 1))
+    r_lane, r_ref = _run_both(task, cfg, H, qpB, qvB, UB, tgB)
+    agree = np.abs(r_lane - r_ref) < 1e-4
+    assert agree.sum() >= B - 1, (r_lane, r_ref)
+
+
+def test_lane_solver_velocity_change_matches_batched():
+    """VC keypoints, same setup as the AJ test."""
+    from trajoptkp_tpu.tasks.toys import make_acrobot
+
+    task = make_acrobot(dtype=jnp.float64)
+    task = task.replace(
+        keypoint_cfg=task.keypoint_cfg.replace(
+            name="velocity_change", min_N=2, max_N=50, auto_adjust=False
+        )
+    )
+    H, B = 300, 6
+    cfg = ILQRConfig(max_iterations=8, min_iterations=8,
+                     deriv_mode="ad_time", deriv_chunk=64)
+    key = jax.random.PRNGKey(11)
+    qpB = task.qpos_start + 0.3 * jax.random.normal(
+        key, (B, task.model.nq), jnp.float64
+    )
+    qvB = jnp.zeros((B, task.model.nv), jnp.float64)
+    UB = jnp.zeros((B, H, task.model.nu), jnp.float64)
+    tgB = jnp.tile(task.residual_targets, (B, 1))
+    r_lane, r_ref = _run_both(task, cfg, H, qpB, qvB, UB, tgB)
+    agree = np.abs(r_lane - r_ref) < 1e-4
+    assert agree.sum() >= B - 1, (r_lane, r_ref)
+
+
 def test_lane_solver_gate_accepts_push():
     """The lane solver covers the panda push family (free joint + cylinder
     contacts + FK residuals) under SI keypoints.  Full solver-level push

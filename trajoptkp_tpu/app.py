@@ -51,6 +51,13 @@ def build_parser():
         "(GenTestingData.cpp:869-892): SI_n / AJ_a_b / AA_a_b / VC_a_b / "
         "IE_a_b, e.g. SI_5 or AJ_5_100",
     )
+    p.add_argument(
+        "--methods",
+        help="Generate_openloop_data only: comma-separated keypoint-method "
+        "list (reference naming), or 'all' for the task's BASELINE.md set — "
+        "one campaign per method over the SAME scene batch "
+        "(GenDataOpenLoopMultipleMethods, GenTestingData.cpp:18-134)",
+    )
     p.add_argument("--out_dir", default="TestingData")
     p.add_argument("--scenes_dir", help="TestTasks-format scene CSV directory")
     p.add_argument("--f32", action="store_true", help="use float32 (TPU)")
@@ -285,6 +292,30 @@ def _openloop_campaign(task, cfg, H, args):
     out_dir = os.path.join(
         args.out_dir, f"{task.name}_openloop_{stamp}"
     )
+    if args.methods:
+        from .bench.harness import openloop_multi_method
+
+        methods = None if args.methods == "all" else args.methods.split(",")
+        results = openloop_multi_method(
+            task, qpos, qvel, targets, U, cfg, out_dir=out_dir,
+            methods=methods, controls_noise=controls_noise,
+            optimiser=args.optimiser,
+        )
+        print(json.dumps({
+            "campaign": out_dir,
+            "methods": {
+                m: {
+                    "mean_cost_reduction": float(
+                        np.mean([r.cost_reduction for r in rows])
+                    ),
+                    "mean_opt_time_ms": float(
+                        np.mean([r.opt_time_ms for r in rows])
+                    ),
+                }
+                for m, rows in results.items()
+            },
+        }))
+        return
     rows = openloop_campaign(
         task, qpos, qvel, targets, U, cfg, out_dir=out_dir,
         controls_noise=controls_noise, optimiser=args.optimiser,

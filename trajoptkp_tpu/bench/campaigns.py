@@ -41,20 +41,34 @@ def sync_mpc_horizon_sweep(
     `num_apply` noisy controls, shift, repeat — mpc/sync.py) runs as one
     fused scan; mean wall per replan comes from the episode wall clock, so
     the measurement covers real MPC behaviour, not replanning a frozen
-    state."""
-    from ..mpc.sync import make_sync_mpc
+    state.  Lane-supported tasks (solver/lanes.py scope) dispatch to the
+    lane-last MPC executor — same algorithm, register layout."""
+    from ..mpc.sync import make_lane_sync_mpc, make_sync_mpc
+    from ..solver.lanes import lane_solver_supported
 
     rows = []
     dtype = task.model.dtype
     key = jax.random.PRNGKey(seed)
+    use_lanes = lane_solver_supported(task)
     for H in horizons:
-        mpc = make_sync_mpc(task, cfg, H, num_apply=num_apply)
-        run = jax.jit(lambda qp, qv, U, k: mpc(qp, qv, U, n_replans, k))
         U0 = jnp.zeros((H, task.model.nu), dtype)
-        res = run(task.qpos_start, task.qvel_start, U0, key)  # compile
+        if use_lanes:
+            mpc = make_lane_sync_mpc(task, cfg, H, num_apply=num_apply)
+            run = jax.jit(
+                lambda qp, qv, U, tg, k: mpc(qp, qv, U, tg, n_replans, k)
+            )
+            args = (
+                task.qpos_start[None], task.qvel_start[None], U0[None],
+                task.residual_targets[None],
+            )
+        else:
+            mpc = make_sync_mpc(task, cfg, H, num_apply=num_apply)
+            run = jax.jit(lambda qp, qv, U, k: mpc(qp, qv, U, n_replans, k))
+            args = (task.qpos_start, task.qvel_start, U0)
+        res = run(*args, key)  # compile
         jax.block_until_ready(res)
         t0 = time.perf_counter()
-        res = run(task.qpos_start, task.qvel_start, U0, key)
+        res = run(*args, key)
         jax.block_until_ready(res)
         ms = (time.perf_counter() - t0) / n_replans * 1e3
         rows.append({

@@ -177,10 +177,17 @@ def openloop_campaign(
     batch_ms = (time.perf_counter() - t0) * 1e3
     per_solve_ms = batch_ms / N
 
-    # instrumented single solve for the per-phase breakdown (iLQR only —
-    # the SVR solve is a single fused dispatch with no phase boundaries)
+    # Per-phase breakdown: an instrumented single solve gives the phase
+    # RATIOS; the absolute columns are scaled so that the three phase
+    # columns are per-iteration shares of the per-solve wall clock
+    # (reference schema semantics, `GenTestingData.cpp:241-243` — there the
+    # serial solve IS the campaign unit, so its phase times sum to the opt
+    # time; here solves run batched, so the honest equivalent preserves the
+    # measured ratios at the throughput-accounted opt time).  The raw
+    # instrumented absolute times land in summary.yaml.
     if optimiser == "iLQR_SVR":
         t_derivs = t_bp = t_fp = 0.0
+        instr = None
     else:
         _, stats = optimise(
             task.replace(
@@ -191,9 +198,15 @@ def openloop_campaign(
             jnp.asarray(U_init[0], dtype),
             cfg,
         )
-        t_derivs = float(np.mean(stats.time_derivs_ms)) if stats.time_derivs_ms else 0.0
-        t_bp = float(np.mean(stats.time_bp_ms)) if stats.time_bp_ms else 0.0
-        t_fp = float(np.mean(stats.time_fp_ms)) if stats.time_fp_ms else 0.0
+        i_d = float(np.mean(stats.time_derivs_ms)) if stats.time_derivs_ms else 0.0
+        i_b = float(np.mean(stats.time_bp_ms)) if stats.time_bp_ms else 0.0
+        i_f = float(np.mean(stats.time_fp_ms)) if stats.time_fp_ms else 0.0
+        instr = {"derivs_ms": i_d, "bp_ms": i_b, "fp_ms": i_f,
+                 "iterations": len(stats.time_derivs_ms or [])}
+        tot = i_d + i_b + i_f
+        n_it = max(float(np.mean(np.asarray(res.num_iterations))), 1.0)
+        scale = (per_solve_ms / n_it) / tot if tot > 0 else 0.0
+        t_derivs, t_bp, t_fp = i_d * scale, i_b * scale, i_f * scale
 
     rows = []
     reductions = np.asarray(res.cost_reduction)
@@ -219,13 +232,85 @@ def openloop_campaign(
         )
 
     if out_dir:
-        write_summary(out_dir, task, cfg, H, rows, controls_noise)
+        write_summary(out_dir, task, cfg, H, rows, controls_noise,
+                      instrumented=instr)
     return rows
+
+
+# the reference's published per-task method sets (BASELINE.md tables;
+# GenDataOpenLoopMultipleMethods runs one campaign per method over the same
+# scene batch, `/root/reference/src/GenTestingData.cpp:18-134`)
+BASELINE_METHODS = {
+    "acrobot": ["SI_1", "SI_5", "AJ_1_50", "VC_1_200", "IE_1_50"],
+    "reaching": ["SI_1", "SI_5", "AJ_5_100", "VC_1_100", "IE_1_50"],
+    "pushing_no_clutter": ["SI_1", "SI_5", "AJ_5_100", "VC_1_100", "IE_1_50"],
+    "pushing_low_clutter": ["SI_1", "SI_5", "AJ_5_100", "IE_1_50"],
+    "pushing_moderate_clutter": ["SI_1", "SI_5", "AJ_2_100", "VC_2_100",
+                                 "IE_1_50"],
+    "box_sweep": ["SI_1", "AJ_1_1000", "VC_1_100", "IE_1_50"],
+}
+_DEFAULT_METHODS = ["SI_1", "SI_5", "AJ_5_100", "VC_1_100", "IE_1_50"]
+
+
+def parse_method(name: str, base: KeypointConfig) -> KeypointConfig:
+    """SI_n / AJ_a_b / AA_a_b / VC_a_b / IE_a_b -> KeypointConfig
+    (inverse of method_name; thresholds keep the task's tuned values)."""
+    parts = name.split("_")
+    kinds = {"SI": "set_interval", "AJ": "adaptive_jerk",
+             "AA": "adaptive_accel", "VC": "velocity_change",
+             "IE": "iterative_error"}
+    kind = kinds[parts[0]]
+    if parts[0] == "SI":
+        return base.replace(name=kind, min_N=int(parts[1]), max_N=1,
+                            auto_adjust=False)
+    return base.replace(name=kind, min_N=int(parts[1]),
+                        max_N=int(parts[2]), auto_adjust=False)
+
+
+def openloop_multi_method(
+    task: Task,
+    scenes_qpos: np.ndarray,
+    scenes_qvel: np.ndarray,
+    scenes_targets: np.ndarray,
+    U_init: np.ndarray,
+    cfg: Optional[ILQRConfig] = None,
+    out_dir: Optional[str] = None,
+    methods: Optional[List[str]] = None,
+    **kwargs,
+):
+    """One-command BASELINE.md reproduction: run the reference's method list
+    over ONE scene batch, one campaign per method
+    (GenDataOpenLoopMultipleMethods, `GenTestingData.cpp:18-134`; the
+    reference sleeps 55 s between methods to change the timestamped dir name
+    — here each method writes `<out_dir>/<method>/`).
+
+    Returns {method: rows}; also writes `<out_dir>/methods_summary.csv`
+    with one mean-row per method for the side-by-side vs BASELINE.md."""
+    methods = methods or BASELINE_METHODS.get(task.name, _DEFAULT_METHODS)
+    results = {}
+    for m in methods:
+        t = task.replace(keypoint_cfg=parse_method(m, task.keypoint_cfg))
+        sub = os.path.join(out_dir, m) if out_dir else None
+        results[m] = openloop_campaign(
+            t, scenes_qpos, scenes_qvel, scenes_targets, U_init,
+            cfg=cfg, out_dir=sub, **kwargs,
+        )
+    if out_dir:
+        with open(os.path.join(out_dir, "methods_summary.csv"), "w") as f:
+            f.write("method,mean_cost_reduction,mean_opt_time_ms,"
+                    "mean_pct_derivs,solves_per_s\n")
+            for m, rows in results.items():
+                red = float(np.mean([r.cost_reduction for r in rows]))
+                ms = float(np.mean([r.opt_time_ms for r in rows]))
+                pct = float(np.mean([r.avg_percent_derivs for r in rows]))
+                f.write(f"{m},{red:.6g},{ms:.6g},{pct:.6g},{1e3/ms:.6g}\n")
+    return results
 
 
 def write_summary(
     out_dir: str, task: Task, cfg: ILQRConfig, horizon: int,
     rows: List[TrialRow], controls_noise: float = 0.0,
+    instrumented: Optional[dict] = None,
 ) -> None:
     """summary.csv + summary.yaml in the reference layout."""
     os.makedirs(out_dir, exist_ok=True)
@@ -247,6 +332,13 @@ def write_summary(
             np.mean([r.cost_reduction for r in rows])
         ),
         "mean_opt_time_ms": float(np.mean([r.opt_time_ms for r in rows])),
+        # throughput accounting: opt_time_ms = batch wall / N (all trials
+        # run as one batched device dispatch); the csv phase columns are
+        # per-iteration shares of that per-solve wall, scaled from the
+        # instrumented single solve recorded below
+        "timing_convention": "batched-throughput; phase columns scaled",
     }
+    if instrumented:
+        meta["instrumented_single_solve"] = instrumented
     with open(os.path.join(out_dir, "summary.yaml"), "w") as f:
         yaml.safe_dump(meta, f)

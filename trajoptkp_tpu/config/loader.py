@@ -321,8 +321,9 @@ def load_scenes_for_task(task: Task, scenes_dir: str, num: Optional[int] = None)
                 f"{f}: {len(row)} values < {n_rj} joints + {6*n_bodies} body dofs"
             )
         qpos = np.asarray(task.qpos_start, dtype=np.float64).copy()
-        for k, qadr in enumerate(robot_qadr):
-            qpos[qadr] = row[k]
+        if task.scene_robot_start != "task":
+            for k, qadr in enumerate(robot_qadr):
+                qpos[qadr] = row[k]
         i = n_rj
         for j in free_joints:
             qadr = model.jnt_qposadr[j]

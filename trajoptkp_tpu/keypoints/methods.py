@@ -84,8 +84,12 @@ def adaptive(
 
     Per dof: keypoint when interval >= min_N and profile > threshold, or when
     interval >= max_N; first and last steps always keypoints.
+
+    Shape-generic: profile may be (H, ndof) or (H, ndof, lanes) — thresholds
+    must broadcast against profile[t] (pass thresholds[:, None] for lanes).
     """
-    H, ndof = profile.shape
+    H = profile.shape[0]
+    rest = profile.shape[1:]
 
     def body(last_idx, t):
         gap = t - last_idx
@@ -97,10 +101,10 @@ def adaptive(
 
     _, rows = jax.lax.scan(
         body,
-        jnp.zeros(ndof, dtype=jnp.arange(1).dtype),
+        jnp.zeros(rest, dtype=jnp.arange(1).dtype),
         jnp.arange(1, H - 1),
     )
-    full = jnp.ones((1, ndof), dtype=bool)
+    full = jnp.ones((1,) + rest, dtype=bool)
     return jnp.concatenate([full, rows, full], axis=0)
 
 
@@ -113,8 +117,12 @@ def velocity_change(
     turning point, or max_N exceeded — each gated by min_N.  The reference
     only updates the stored direction while the counter is below min_N; we
     reproduce that behaviour bit-for-bit.
+
+    Shape-generic like `adaptive`: vel_traj (H, ndof[, lanes]); thresholds
+    must broadcast against vel_traj[t].
     """
-    H, ndof = vel_traj.shape
+    H = vel_traj.shape[0]
+    rest = vel_traj.shape[1:]
 
     class Carry(NamedTuple):
         counter: jnp.ndarray
@@ -143,12 +151,12 @@ def velocity_change(
         )
 
     init = Carry(
-        counter=jnp.zeros(ndof, dtype=jnp.int32),
-        acc=jnp.zeros(ndof, dtype=vel_traj.dtype),
-        last_dir=jnp.zeros(ndof, dtype=vel_traj.dtype),
+        counter=jnp.zeros(rest, dtype=jnp.int32),
+        acc=jnp.zeros(rest, dtype=vel_traj.dtype),
+        last_dir=jnp.zeros(rest, dtype=vel_traj.dtype),
     )
     _, rows = jax.lax.scan(body, init, jnp.arange(1, H))
-    full = jnp.ones((1, ndof), dtype=bool)
+    full = jnp.ones((1,) + rest, dtype=bool)
     rows = rows.at[-1].set(True)  # last step: all dofs (reference :725-727)
     return jnp.concatenate([full, rows], axis=0)
 
@@ -253,3 +261,34 @@ def generate_keypoints(
             vel_traj, cfg.velocity_change_thresholds, cfg.min_N, cfg.max_N
         )
     raise ValueError(f"unknown keypoint method: {cfg.name}")
+
+
+def generate_keypoints_lanes(
+    cfg: KeypointConfig,
+    vel_traj: jnp.ndarray,
+    dt,
+) -> jnp.ndarray:
+    """Lane-last variant of generate_keypoints: vel_traj (H, ndof, B) ->
+    mask (H, ndof, B), same per-dof algorithms (the scans carry (ndof, B)
+    registers — solver/lanes.py adaptive-keypoint path)."""
+    H, ndof, _ = vel_traj.shape
+    if cfg.name == "set_interval":
+        return jnp.broadcast_to(
+            set_interval(H, ndof, cfg.min_N)[:, :, None], vel_traj.shape
+        ).astype(bool)
+    if cfg.name == "adaptive_jerk":
+        return adaptive(
+            jerk_profile(vel_traj, dt), cfg.jerk_thresholds[:, None],
+            cfg.min_N, cfg.max_N,
+        )
+    if cfg.name == "adaptive_accel":
+        return adaptive(
+            accel_profile(vel_traj), cfg.accel_thresholds[:, None],
+            cfg.min_N, cfg.max_N,
+        )
+    if cfg.name == "velocity_change":
+        return velocity_change(
+            vel_traj, cfg.velocity_change_thresholds[:, None],
+            cfg.min_N, cfg.max_N,
+        )
+    raise ValueError(f"unsupported lane keypoint method: {cfg.name}")

@@ -97,6 +97,107 @@ def make_sync_mpc(
     return mpc_run
 
 
+def make_lane_sync_mpc(
+    task: Task,
+    cfg: ILQRConfig,
+    horizon: int,
+    num_apply: int,
+    noise_pct: float = 5.0,
+):
+    """Lane-last synchronous MPC: the replan loop on the register engine.
+
+    Same semantics as make_sync_mpc (one iLQR iteration per replan, shift-pad
+    consumed controls, 5%-range exploration noise — `main.cpp:630-744`), but
+    every phase runs lane-last (solver/lanes.py phases at
+    max_iter = min_iter = 1): the batch of EPISODES is the minormost axis of
+    every tensor, so a single episode (B=1) replan is a handful of scan-fused
+    VPU kernels instead of the generic engine's tile-padded batch-leading
+    intermediates — this is what closes the walker ms/replan gap vs the
+    reference CPU (BASELINE.md walker table).
+
+    Returns mpc_run(qposB (B,nq), qvelB (B,nv), UB (B,H,nu), targetsB
+    (B,ntarg), n_replans, key) -> MPCRunResult with a TRAILING batch axis
+    on every field (qpos_hist (n_steps+1, nq, B), ...).
+    """
+    from ..dynamics.lanes import build_smooth_step
+    from ..solver.lanes import make_lane_batch_optimise
+
+    model = task.model
+    dtype = model.dtype
+    H, nu = horizon, model.nu
+    mpc_cfg = cfg.replace(max_iterations=1, min_iterations=1)
+    ph = make_lane_batch_optimise(task, mpc_cfg, H).phases
+    step_l = build_smooth_step(model, want_fk=True)
+    limits = control_limits(task)
+    rng_width = limits[:, 1] - limits[:, 0]
+    rng_width = jnp.where(jnp.isfinite(rng_width), rng_width, 0.0)
+    noise_std = (rng_width / 100.0 * noise_pct).astype(dtype)
+    lo = limits[:, 0].astype(dtype)[:, None]
+    hi = limits[:, 1].astype(dtype)[:, None]
+    w_run = task.weights.astype(dtype)
+
+    def mpc_run(qposB, qvelB, UB, targetsB, n_replans: int, key):
+        B_ = qposB.shape[0]
+        qp0 = qposB.T.astype(dtype)
+        qv0 = qvelB.T.astype(dtype)
+        U0 = UB.transpose(1, 2, 0).astype(dtype)
+        targets = targetsB.T.astype(dtype)
+        lamb0 = jnp.full((B_,), cfg.lambda_init, dtype)
+
+        def one_replan(carry, _):
+            qp, qv, U, key = carry
+            qpos, qvel, costs = ph["rollout"](qp, qv, U, targets)
+            old = jnp.sum(costs, axis=0)
+            A, Bm, _, _ = ph["jacobians"](qpos, qvel, U)
+            lx, lxx, lu, luu = ph["cost_expansion"](qpos, qvel, U, targets)
+            k, K, dJ, lamb, _ = ph["bp"](A, Bm, lx, lxx, lu, luu, lamb0)
+            qps_n, qvs_n, U_n, accept, best = ph["fp"](
+                qpos, qvel, U, old, k, K, targets
+            )
+            acc = accept.astype(dtype)
+            U_new = acc * U_n + (1.0 - acc) * U
+            rcost = jnp.where(accept, best, old)
+
+            def apply_step(c, t):
+                qp_, qv_, key = c
+                key, sub = jax.random.split(key)
+                u = U_new[t] + noise_std[:, None] * jax.random.normal(
+                    sub, (nu, B_), dtype
+                )
+                u = jnp.clip(u, lo, hi)
+                qp2, qv2, prods = step_l(qp_, qv_, u)
+                data = Data(
+                    qpos=qp_, qvel=qv_, ctrl=u, time=jnp.zeros((), dtype),
+                    xpos=prods["xpos"], site_xpos=prods.get("site_xpos"),
+                )
+                r = task.residual_fn(model, data, targets)
+                c_t = jnp.sum(w_run[:, None] * r * r, axis=0)
+                return (qp2, qv2, key), (qp_, qv_, u, c_t)
+
+            (qp2, qv2, key), (qps, qvs, us, cs) = jax.lax.scan(
+                apply_step, (qp, qv, key), jnp.arange(num_apply)
+            )
+            U_shift = jnp.concatenate(
+                [U_new[num_apply:], jnp.tile(U_new[-1:], (num_apply, 1, 1))],
+                axis=0,
+            )
+            return (qp2, qv2, U_shift, key), (qps, qvs, us, cs, rcost)
+
+        (qp, qv, _, _), (qps, qvs, us, cs, rcosts) = jax.lax.scan(
+            one_replan, (qp0, qv0, U0, key), None, length=n_replans
+        )
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        return MPCRunResult(
+            qpos_hist=jnp.concatenate([flat(qps), qp[None]], axis=0),
+            qvel_hist=jnp.concatenate([flat(qvs), qv[None]], axis=0),
+            ctrl_hist=flat(us),
+            cost_hist=flat(cs),
+            replan_costs=rcosts,
+        )
+
+    return mpc_run
+
+
 def gravity_compensation_ctrl(task: Task, data: Data) -> jnp.ndarray:
     """Hold-position fallback controls from the bias force
     (`MuJoCoHelper.cpp:200-232` GetRobotJointsGravityCompensationControls)."""

@@ -78,6 +78,15 @@ class ILQRConfig:
     # of exactly at every step.  Residual values r still come from the
     # rollout at every step, matching the reference's stored residuals[t].
     cost_derivs_fd: bool = struct.field(pytree_node=False, default=False)
+    # lane-solver adaptive keypoints: static budget of keypoint TIMES per
+    # lane (the union over dofs of the per-dof keypoint schedule; jacfwd
+    # evaluates all tangent columns at each selected time).  None = worst
+    # case 2*(H//min_N)+2 capped at H; overflow beyond the budget drops the
+    # LATEST middle keypoints deterministically (endpoints protected) and is
+    # reported in LaneBatchResult.kp_overflow.
+    lane_kp_budget: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
 
 class Trajectory(NamedTuple):
@@ -245,9 +254,21 @@ def compute_derivatives(task: Task, traj: Trajectory, mask, budget: int,
         # times, e.g. every set_interval schedule
         from ..derivs.fd import time_keypoint_jacobians
 
+        # static slot budget = worst-case size of the UNION of per-dof
+        # keypoint times.  set_interval schedules are shared across dofs
+        # (union == per-dof count = budget/ndof); adaptive methods place
+        # keypoints at DIFFERENT times per dof, so the union can reach the
+        # full job budget (capped at H).  Undersizing this silently zeroes
+        # the Jacobian columns of dropped late keypoints — interpolation
+        # then propagates zeros and the optimiser stalls.
+        if task.keypoint_cfg is not None \
+                and task.keypoint_cfg.name == "set_interval":
+            time_budget = -(-budget // max(sv.ndof, 1))
+        else:
+            time_budget = min(H, budget)
         A_kp, B_kp, _ = time_keypoint_jacobians(
             model, sv, traj.qpos[:H], traj.qvel[:H], traj.ctrl, mask,
-            time_budget=-(-budget // max(sv.ndof, 1)),
+            time_budget=time_budget,
             chunk_size=chunk_size, warm_traj=traj.warm,
             shard_axis=shard_axis, num_shards=num_shards,
         )

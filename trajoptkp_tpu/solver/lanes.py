@@ -32,8 +32,14 @@ import numpy as np
 from ..dynamics.lanes import (build_fk_products, build_smooth_step,
                               build_tangent_ops, lanes_supported)
 from ..dynamics.model import Data
+from ..keypoints.methods import generate_keypoints_lanes
 from ..tasks.base import Task, control_limits
 from .ilqr import ILQRConfig, default_alphas
+
+# keypoint methods the lane solver implements natively (iterative_error's
+# bisection recursion stays on the generic solvers)
+_LANE_KP_METHODS = ("set_interval", "adaptive_jerk", "adaptive_accel",
+                    "velocity_change")
 
 
 class LaneBatchResult(NamedTuple):
@@ -42,6 +48,10 @@ class LaneBatchResult(NamedTuple):
     final_cost: jnp.ndarray      # (B,)
     num_iterations: jnp.ndarray  # (B,)
     pct_derivs: jnp.ndarray      # (B,)
+    # adaptive-keypoint path only: max keypoint TIMES dropped by the static
+    # lane_kp_budget across iterations, per lane (0 on the SI path; nonzero
+    # means raise ILQRConfig.lane_kp_budget)
+    kp_overflow: jnp.ndarray = None
 
     @property
     def cost_reduction(self):
@@ -50,13 +60,15 @@ class LaneBatchResult(NamedTuple):
 
 def lane_solver_supported(task: Task) -> bool:
     """Lane solver covers this task: lane-engine model, full active mask,
-    set_interval keypoints, lane-safe residual function."""
+    SI/AJ/AA/VC keypoints (iterative_error stays generic), lane-safe
+    residual function."""
     model, sv = task.model, task.sv
     if not lanes_supported(model):
         return False
     if not bool(np.all(np.asarray(sv.active) > 0.5)):
         return False
-    if task.keypoint_cfg is None or task.keypoint_cfg.name != "set_interval":
+    if task.keypoint_cfg is None \
+            or task.keypoint_cfg.name not in _LANE_KP_METHODS:
         return False
     try:  # residual fn must trace on lane-last arrays + FK products
         dt = model.dtype
@@ -105,26 +117,42 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
     w_run = np.asarray(task.weights, dtype=np.float64)
     w_term = np.asarray(task.weights_terminal, dtype=np.float64)
     limits = np.asarray(jax.device_get(control_limits(task)))
-    kp_times = _si_keypoint_times(H, task.keypoint_cfg.min_N)
-    n_kp = len(kp_times)
-    pct = 100.0 * n_kp / H
-    # shared prev/next keypoint index per time (static — the SI schedule is
-    # identical for every dof and lane), for the interpolation lerp
-    prev = np.zeros(H, np.int32)
-    nxt = np.zeros(H, np.int32)
-    kset = set(kp_times.tolist())
-    last = 0
-    for t in range(H):
-        if t in kset:
-            last = t
-        prev[t] = last
-    nxt_v = H - 1
-    for t in range(H - 1, -1, -1):
-        if t in kset:
-            nxt_v = t
-        nxt[t] = nxt_v
-    lerp_w = ((np.arange(H) - prev) / np.maximum(nxt - prev, 1)).astype(
-        np.float64
+    kp_cfg = task.keypoint_cfg
+    static_si = kp_cfg.name == "set_interval"
+    if static_si:
+        kp_times = _si_keypoint_times(H, kp_cfg.min_N)
+        n_kp = len(kp_times)
+        pct = 100.0 * n_kp / H
+        # shared prev/next keypoint index per time (static — the SI schedule
+        # is identical for every dof and lane), for the interpolation lerp
+        prev = np.zeros(H, np.int32)
+        nxt = np.zeros(H, np.int32)
+        kset = set(kp_times.tolist())
+        last = 0
+        for t in range(H):
+            if t in kset:
+                last = t
+            prev[t] = last
+        nxt_v = H - 1
+        for t in range(H - 1, -1, -1):
+            if t in kset:
+                nxt_v = t
+            nxt[t] = nxt_v
+        lerp_w = ((np.arange(H) - prev) / np.maximum(nxt - prev, 1)).astype(
+            np.float64
+        )
+    else:
+        # adaptive methods (AJ/AA/VC): per-lane dynamic keypoint times under
+        # a static budget of evaluation slots
+        min_N = max(kp_cfg.min_N, 1)
+        K_max = cfg.lane_kp_budget or min(H, 2 * (H // min_N) + 2)
+        pct = None
+    # column -> sv-dof map for per-dof interpolation (state col j drives dof
+    # j%n; ctrl col c drives dof c, reference InterpolateDerivatives
+    # semantics, KeyPointGenerator.cpp:840-954)
+    col_dof_np = np.array(
+        [j % n for j in range(2 * n)] + [min(c, n - 1) for c in range(nu)],
+        np.int32,
     )
 
     def residual_rows(qpos, qvel, ctrl, targets, prods):
@@ -171,16 +199,11 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         qvel = jnp.concatenate([qvs, qvN[None]], axis=0)
         return qpos, qvel, costs
 
-    def jacobians(qpos, qvel, U):
-        """A (H,2n,2n,B), B (H,2n,nu,B): exact jacfwd at the static SI
-        keypoint times, lerped in between (InterpolateDerivatives semantics,
-        KeyPointGenerator.cpp:840-954; with a shared SI schedule every dof
-        column interpolates identically, so the lerp is whole-matrix).
-        Tangent-space rows/columns per derivs/fd._tangent_out (quaternion
-        log/exp about the nominal next state)."""
-        qp_f = qpos[kp_times].transpose(1, 0, 2)   # (nq, K, B)
-        qv_f = qvel[kp_times].transpose(1, 0, 2)
-        u_f = U[kp_times].transpose(1, 0, 2)
+    def _slot_jacobians(qp_f, qv_f, u_f):
+        """Exact jacfwd of one smooth step at gathered states
+        (nq/nv/nu, K, B) -> J (K, 2n, 2n+nu, B).  Tangent-space
+        rows/columns per derivs/fd._tangent_out (quaternion log/exp about
+        the nominal next state)."""
         step_plain = build_smooth_step(model)
         qp_nom, qv_nom = step_plain(qp_f, qv_f, u_f)
 
@@ -198,7 +221,18 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
 
         J = jax.jacfwd(g)(jnp.zeros((2 * n + nu,), dtype))
         # J: (2n, K, B, 2n+nu) -> (K, 2n, 2n+nu, B)
-        J = J.transpose(1, 0, 3, 2)
+        return J.transpose(1, 0, 3, 2)
+
+    def jacobians_si(qpos, qvel, U):
+        """A (H,2n,2n,B), B (H,2n,nu,B): jacfwd at the static SI keypoint
+        times, lerped in between (InterpolateDerivatives semantics,
+        KeyPointGenerator.cpp:840-954; with a shared SI schedule every dof
+        column interpolates identically, so the lerp is whole-matrix)."""
+        J = _slot_jacobians(
+            qpos[kp_times].transpose(1, 0, 2),
+            qvel[kp_times].transpose(1, 0, 2),
+            U[kp_times].transpose(1, 0, 2),
+        )
         A_kp = J[:, :, : 2 * n]
         B_kp = J[:, :, 2 * n :]
         wL = jnp.asarray(lerp_w, dtype)[:, None, None, None]
@@ -206,7 +240,74 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         nidx = jnp.asarray(np.searchsorted(kp_times, nxt).astype(np.int32))
         A = A_kp[pidx] + wL * (A_kp[nidx] - A_kp[pidx])
         Bm = B_kp[pidx] + wL * (B_kp[nidx] - B_kp[pidx])
-        return A, Bm
+        B_ = U.shape[-1]
+        return (A, Bm, jnp.full((B_,), pct, dtype),
+                jnp.zeros((B_,), jnp.int32))
+
+    def jacobians_adaptive(qpos, qvel, U):
+        """Adaptive per-dof keypoints (AJ/AA/VC) on lanes: per-lane union of
+        the per-dof keypoint times, gathered into K_max static evaluation
+        slots; jacfwd at the slots; per-dof-column gather+lerp back to the
+        full horizon (keypoints/interpolate.py semantics, lane-last).
+
+        Returns (A (H,2n,2n,B), B (H,2n,nu,B), pct (B,), overflow (B,))."""
+        B_ = U.shape[-1]
+        order_arr = jnp.array(order)
+        vel_sv = qvel[:H][:, order_arr, :]                 # (H, n, B)
+        mask = generate_keypoints_lanes(kp_cfg, vel_sv, model.timestep)
+        union = jnp.any(mask, axis=1)                      # (H, B)
+        t_col = jnp.arange(H)[:, None]
+        # protect t = H-1 under budget overflow: drop the LATEST middle
+        # keypoints first (rank-capped), keep endpoints
+        rank = jnp.cumsum(union, axis=0) - 1               # (H, B)
+        n_union = jnp.sum(union, axis=0)                   # (B,)
+        keep = union & ((rank < K_max - 1) | (t_col == H - 1))
+        overflow = jnp.maximum(n_union - K_max, 0).astype(jnp.int32)
+        mask = mask & keep[:, None, :]
+        mask = mask.at[0].set(True).at[H - 1].set(True)
+        union = keep
+        # time-ordered slot assignment (padding slots follow, never indexed:
+        # prev/next below only land on surviving keypoint times)
+        key = jnp.where(union, t_col, H + 1 + t_col)       # (H, B)
+        slot_t = jnp.argsort(key, axis=0)[:K_max]          # (K_max, B)
+        cum = (jnp.cumsum(union, axis=0) - 1).astype(jnp.int32)
+
+        J = _slot_jacobians(
+            jnp.take_along_axis(
+                qpos[:H].transpose(1, 0, 2), slot_t[None], axis=1
+            ),
+            jnp.take_along_axis(
+                qvel[:H].transpose(1, 0, 2), slot_t[None], axis=1
+            ),
+            jnp.take_along_axis(U.transpose(1, 0, 2), slot_t[None], axis=1),
+        )                                                   # (K_max,2n,C,B)
+
+        # per-dof prev/next keypoint TIME (keypoints/interpolate.py
+        # prev_next_keypoints, lane-last)
+        t3 = t_col[:, :, None]                              # (H,1,1)
+        prev_t = jax.lax.cummax(jnp.where(mask, t3, -1), axis=0)
+        nxt_t = -jax.lax.cummax(
+            jnp.where(mask, -t3, -(H + 1))[::-1], axis=0
+        )[::-1]
+        w = (t3 - prev_t) / jnp.maximum(nxt_t - prev_t, 1)  # (H, n, B)
+        w = w.astype(dtype)
+        # time -> slot via the union cumsum, gathered per lane
+        cum_e = jnp.broadcast_to(cum[:, None, :], (H, n, B_))
+        pslot = jnp.take_along_axis(cum_e, prev_t.astype(jnp.int32), axis=0)
+        nslot = jnp.take_along_axis(cum_e, nxt_t.astype(jnp.int32), axis=0)
+        # per-column dof mapping
+        cd = jnp.asarray(col_dof_np)
+        p_cols = pslot[:, cd, :][:, None, :, :]             # (H,1,C,B)
+        n_cols = nslot[:, cd, :][:, None, :, :]
+        w_cols = w[:, cd, :][:, None, :, :]
+        J_p = jnp.take_along_axis(J, p_cols, axis=0)        # (H,2n,C,B)
+        J_n = jnp.take_along_axis(J, n_cols, axis=0)
+        J_full = J_p + w_cols * (J_n - J_p)
+        pct_b = 100.0 * jnp.sum(mask, axis=(0, 1)).astype(dtype) / (H * n)
+        return (J_full[:, :, : 2 * n], J_full[:, :, 2 * n :], pct_b,
+                overflow)
+
+    jacobians = jacobians_si if static_si else jacobians_adaptive
 
     def cost_expansion(qpos, qvel, U, targets):
         """Gauss-Newton cost expansion from residual tangent Jacobians
@@ -427,8 +528,8 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         initial = jnp.sum(costs, axis=0)
 
         def iteration(_, st):
-            qpos, qvel, U, old_cost, lamb = st
-            A, Bm = jacobians(qpos, qvel, U)
+            qpos, qvel, U, old_cost, lamb, _, ovf0 = st
+            A, Bm, pct_b, ovf = jacobians(qpos, qvel, U)
             l_x, l_xx, l_u, l_uu = cost_expansion(qpos, qvel, U, targets)
             k, K, dJ, lamb, _ = bp_lambda_loop(
                 A, Bm, l_x, l_xx, l_u, l_uu, lamb
@@ -447,19 +548,22 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
                 jnp.clip(lamb * cfg.lambda_factor**2,
                          cfg.min_lambda, cfg.max_lambda),
             )
-            return qpos, qvel, U, new_cost, lamb
+            return (qpos, qvel, U, new_cost, lamb, pct_b,
+                    jnp.maximum(ovf0, ovf))
 
         lamb0 = jnp.full((B_,), cfg.lambda_init, dtype)
-        qpos, qvel, U, final, lamb = jax.lax.fori_loop(
+        qpos, qvel, U, final, lamb, pct_b, ovf = jax.lax.fori_loop(
             0, cfg.max_iterations, iteration,
-            (qpos, qvel, U0, initial, lamb0),
+            (qpos, qvel, U0, initial, lamb0,
+             jnp.zeros((B_,), dtype), jnp.zeros((B_,), jnp.int32)),
         )
         return LaneBatchResult(
             ctrl=U.transpose(2, 0, 1),
             initial_cost=initial,
             final_cost=final,
             num_iterations=jnp.full((B_,), cfg.max_iterations, jnp.int32),
-            pct_derivs=jnp.full((B_,), pct, dtype),
+            pct_derivs=pct_b,
+            kp_overflow=ovf,
         )
 
     run.phases = {
@@ -500,8 +604,11 @@ def make_lane_phase_optimise(task: Task, cfg: ILQRConfig, H: int):
         initial = jnp.sum(costs, axis=0)
         old_cost = initial
         lamb = jnp.full((B_,), cfg.lambda_init, dtype)
+        pct_b = jnp.zeros((B_,), dtype)
+        ovf = jnp.zeros((B_,), jnp.int32)
         for _ in range(cfg.max_iterations):
-            A, Bm = jac_j(qpos, qvel, U)
+            A, Bm, pct_b, ovf_i = jac_j(qpos, qvel, U)
+            ovf = jnp.maximum(ovf, ovf_i)
             l_x, l_xx, l_u, l_uu = cost_j(qpos, qvel, U, targets)
             k, K, dJ, lamb, _ = bp_j(A, Bm, l_x, l_xx, l_u, l_uu, lamb)
             qps_n, qvs_n, U_n, accept, best_cost = fp_j(
@@ -522,7 +629,8 @@ def make_lane_phase_optimise(task: Task, cfg: ILQRConfig, H: int):
             initial_cost=initial,
             final_cost=old_cost,
             num_iterations=jnp.full((B_,), cfg.max_iterations, jnp.int32),
-            pct_derivs=jnp.full((B_,), ph["pct"], dtype),
+            pct_derivs=pct_b,
+            kp_overflow=ovf,
         )
 
     return run

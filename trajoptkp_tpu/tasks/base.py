@@ -75,6 +75,15 @@ class Task:
     keypoint_cfg: KeypointConfig = None
     openloop_horizon: int = struct.field(pytree_node=False, default=500)
     mpc_horizon: int = struct.field(pytree_node=False, default=100)
+    # how to treat the robot-joint columns of reference TestTasks CSVs:
+    #   "csv"  — use them verbatim (toys/locomotion: the values are the
+    #            scene's actual random joint starts)
+    #   "task" — keep task.qpos_start (manipulation: the reference stores
+    #            its constant YAML startPos, whose joint values encode
+    #            "EE in the push-ready pose" for the reference's OWN scene
+    #            kinematics (unvendored submodule); our hand-authored arm
+    #            needs its own equivalent pose, `tasks/pushing.py`)
+    scene_robot_start: str = struct.field(pytree_node=False, default="csv")
 
     @property
     def nres(self) -> int:

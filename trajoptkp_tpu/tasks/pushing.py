@@ -60,11 +60,16 @@ def build_push_scene_xml(num_obstacles, goal_start=(0.5, 0.1)) -> str:
     panda = open(os.path.join(_MODELS_DIR, "panda.xml")).read()
     arm_body = panda[panda.index('<body name="panda_link0"'):panda.index("</worldbody>")]
     actuators = panda[panda.index("<actuator>"):panda.index("</actuator>") + len("</actuator>")]
-    # attach an active-collision pusher rod to the hand
+    # attach an active-collision pusher rod to the hand.  The servo targets
+    # the EE site at z = 0.28 with the hand z-axis pointing DOWN
+    # (`PushBaseClass.cpp:38,108,139-167`), so the rod must span from just
+    # above the table (world z ~0.01) up to the hand for its side to contact
+    # the 0.03-half-height object cylinders: local z 0.11..0.37 beyond the
+    # site maps to world z 0.27..0.01 at the servo height.
     arm_body = arm_body.replace(
         '<site name="ee" pos="0 0 0.1" size="0.01"/>',
         '<site name="ee" pos="0 0 0.1" size="0.01"/>\n'
-        '  <geom name="pusher" type="cylinder" size="0.01 0.05" pos="0 0 0.1" '
+        '  <geom name="pusher" type="cylinder" size="0.01 0.13" pos="0 0 0.24" '
         'mass="0.05" contype="1" conaffinity="1" friction="0.6 0.005 0.0001"/>',
     )
     objs = [
@@ -189,9 +194,16 @@ def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
         residual_targets=jnp.array(list(target_xy), dtype=dtype),
         weights=jnp.array(w, dtype=dtype),
         weights_terminal=jnp.array(wt, dtype=dtype),
+        # push-ready pose for OUR hand-authored panda kinematics: EE at
+        # (0.353, 0, 0.30) with the hand z-axis pointing straight down, so
+        # the table-length pusher rod starts clear of table and objects and
+        # the straight-line setup approach (EEWayPointsSetup,
+        # `PushBaseClass.cpp:8-44`) comes in from the base side.  The
+        # reference's startPos [0,-0.183,0,-3.1,0,1.34,0] encodes the same
+        # intent for ITS Franka scene XML (unvendored submodule).
         qpos_start=jnp.asarray(model.qpos0, dtype=dtype)
         .at[:7]
-        .set(jnp.array([0, -0.183, 0, -3.1, 0, 1.34, 0], dtype=dtype)),
+        .set(jnp.array([0, -0.5763, 0, -2.7099, 0, 2.1309, 0], dtype=dtype)),
         qvel_start=jnp.zeros((model.nv,), dtype=dtype),
         keypoint_cfg=KeypointConfig(
             name="adaptive_jerk",
@@ -205,6 +217,7 @@ def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
         ),
         openloop_horizon=1000,
         mpc_horizon=50,
+        scene_robot_start="task",
     )
 
 
