@@ -22,6 +22,13 @@ import os
 import time
 
 import jax
+
+# TRAJOPTKP_PLATFORM=cpu forces the CPU backend.  Needed because the TPU
+# plugin on some hosts ignores JAX_PLATFORMS and grabs (or blocks on) the
+# chip even for host-only run modes like Replay/Generate_test_scenes.
+if os.environ.get("TRAJOPTKP_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TRAJOPTKP_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,6 +66,10 @@ def build_parser():
         "(GenDataOpenLoopMultipleMethods, GenTestingData.cpp:18-134)",
     )
     p.add_argument("--out_dir", default="TestingData")
+    p.add_argument(
+        "--trajectory",
+        help="Replay runMode: saved trajectory .npz (utils/checkpoint.py)",
+    )
     p.add_argument("--scenes_dir", help="TestTasks-format scene CSV directory")
     p.add_argument("--f32", action="store_true", help="use float32 (TPU)")
     p.add_argument("--seed", type=int, default=0)
@@ -194,6 +205,23 @@ def main(argv=None):
         )
         print(json.dumps({"rows": len(rows), "first": rows[0],
                           "last": rows[-1]}))
+    elif mode == "Replay":
+        # interactive viewer replay when a display exists, PNG sequence
+        # otherwise (Visualiser.cpp:233-271 surface; viz/replay.py)
+        from .utils.checkpoint import load_trajectory
+        from .viz.replay import replay_trajectory
+
+        if not args.trajectory:
+            raise SystemExit("--runMode Replay requires --trajectory <npz>")
+        traj, _ = load_trajectory(args.trajectory)
+        paths = replay_trajectory(
+            task.model, np.asarray(traj.qpos),
+            out_dir=os.path.join(args.out_dir, "replay"),
+        )
+        print(json.dumps({
+            "replay": "interactive" if paths is None else "png_sequence",
+            "frames": int(len(traj.qpos)) if paths is None else len(paths),
+        }))
     else:
         raise SystemExit(f"unknown runMode: {mode}")
 
@@ -252,16 +280,23 @@ def _generate_scenes(task, args):
     rng = np.random.default_rng(args.seed)
     out = os.path.join(args.out_dir, "TestTasks", task.name)
     for i in range(args.num_scenes):
-        # task-generic jitter of start configuration + targets
-        qpos = np.asarray(task.qpos_start, dtype=np.float64)
-        n_rj = min(task.model.nu, len(qpos))
-        start = qpos[:n_rj] + 0.2 * rng.standard_normal(n_rj)
-        targets = np.asarray(task.residual_targets, dtype=np.float64)
-        targets = targets + 0.1 * rng.standard_normal(targets.shape)
-        save_scene_csv(
-            os.path.join(out, f"{i}.csv"),
-            SceneSpec(robot_start=start, body_starts=[], residual_targets=targets),
-        )
+        if task.scene_generator_fn is not None:
+            # per-task rejection-sampled scene (ReturnRandomStartState,
+            # e.g. tasks/pushing.py clutter generator)
+            start, bodies, targets = task.scene_generator_fn(task, rng)
+            spec = SceneSpec(robot_start=np.asarray(start),
+                             body_starts=[np.asarray(b) for b in bodies],
+                             residual_targets=np.asarray(targets))
+        else:
+            # task-generic jitter of start configuration + targets
+            qpos = np.asarray(task.qpos_start, dtype=np.float64)
+            n_rj = min(task.model.nu, len(qpos))
+            start = qpos[:n_rj] + 0.2 * rng.standard_normal(n_rj)
+            targets = np.asarray(task.residual_targets, dtype=np.float64)
+            targets = targets + 0.1 * rng.standard_normal(targets.shape)
+            spec = SceneSpec(robot_start=start, body_starts=[],
+                             residual_targets=targets)
+        save_scene_csv(os.path.join(out, f"{i}.csv"), spec)
     print(json.dumps({"scenes_written": args.num_scenes, "dir": out}))
 
 

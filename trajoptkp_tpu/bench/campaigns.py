@@ -118,6 +118,7 @@ def async_mpc_campaign(
         qpos_hist, u_hist = runner.run(U0, max_steps=max_steps)
         wall = time.perf_counter() - t0
         dist = float("nan")
+        completed = len(u_hist) < max_steps  # broke out on TaskComplete
         if task.task_complete_fn is not None and len(qpos_hist):
             d = Data(
                 qpos=jnp.asarray(qpos_hist[-1], dtype),
@@ -138,16 +139,22 @@ def async_mpc_campaign(
             "mean_replan_ms": float(np.mean(runner.replan_times_ms))
             if runner.replan_times_ms else float("nan"),
             "final_dist": dist,
+            # end-of-run replay cost over the visited trajectory
+            # (`main.cpp:585-625`)
+            "episode_cost": runner.episode_cost(),
+            "task_complete": int(completed),
         })
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "async_mpc.csv"), "w") as f:
-            f.write("trial,steps,wall_s,replans,mean_replan_ms,final_dist\n")
+            f.write("trial,steps,wall_s,replans,mean_replan_ms,final_dist,"
+                    "episode_cost,task_complete\n")
             for r in rows:
                 f.write(
                     f"{r['trial']},{r['steps']},{r['wall_s']:.4g},"
                     f"{r['replans']},{r['mean_replan_ms']:.4g},"
-                    f"{r['final_dist']:.4g}\n"
+                    f"{r['final_dist']:.4g},{r['episode_cost']:.6g},"
+                    f"{r['task_complete']}\n"
                 )
     return rows
 

@@ -160,11 +160,13 @@ def load_mjcf(path: str, dtype=jnp.float64, timestep: Optional[float] = None) ->
     mj = mujoco.MjModel.from_xml_path(path)
     if timestep is not None:
         mj.opt.timestep = timestep
-    return from_mj(mj, dtype=dtype)
+    return from_mj(mj, dtype=dtype).replace(
+        source_xml=open(path).read()
+    )
 
 
 def load_mjcf_string(xml: str, dtype=jnp.float64) -> Model:
     import mujoco
 
     mj = mujoco.MjModel.from_xml_string(xml)
-    return from_mj(mj, dtype=dtype)
+    return from_mj(mj, dtype=dtype).replace(source_xml=xml)

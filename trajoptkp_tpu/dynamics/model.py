@@ -20,7 +20,7 @@ the CPU MuJoCo build acts as a numerical oracle in tests.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -99,6 +99,9 @@ class Model:
     flex_edges: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=()
     )
+    # original MJCF source (host-side convenience; lets the replay viewer
+    # rebuild a mujoco.MjModel of the same scene, viz/replay.py)
+    source_xml: Optional[str] = struct.field(pytree_node=False, default=None)
 
     # ---- traced numeric parameters
     qpos0: jnp.ndarray = None            # (nq,) reference configuration

@@ -151,6 +151,7 @@ class AsyncMPC:
         self.replan_times_ms: list = []
         self.applied_controls: list = []
         self.visited_qpos: list = []
+        self.visited_qvel: list = []
 
     # ----- planner ---------------------------------------------------------
 
@@ -231,7 +232,41 @@ class AsyncMPC:
             self._qvel = np.asarray(out.qvel)
         self.applied_controls.append(u)
         self.visited_qpos.append(np.asarray(out.qpos))
+        self.visited_qvel.append(np.asarray(out.qvel))
         return out
+
+    def episode_cost(self) -> float:
+        """Replay the episode's visited states + applied controls through
+        the residual pipeline and sum the task cost, terminal weights at the
+        last visited state (the reference's end-of-run replay loop,
+        `/root/reference/src/main.cpp:585-625` — it restores each stored
+        full state into vis_data, re-evaluates Residuals/CostFunction and
+        accumulates)."""
+        from ..dynamics.fk import forward_kinematics
+
+        if not self.visited_qpos:
+            return float("nan")
+        dtype = self.model.dtype
+        task = self.task
+        qp = jnp.asarray(np.array(self.visited_qpos), dtype)
+        qv = jnp.asarray(np.array(self.visited_qvel), dtype)
+        us = jnp.asarray(np.array(self.applied_controls), dtype)
+        n = qp.shape[0]
+
+        @jax.jit
+        def _cost(qp, qv, us):
+            def one(qpos, qvel, u, terminal):
+                d = forward_kinematics(self.model, Data(
+                    qpos=qpos, qvel=qvel, ctrl=u, time=jnp.zeros((), dtype),
+                ))
+                r = task.residual_fn(self.model, d, task.residual_targets)
+                w = jnp.where(terminal, task.weights_terminal, task.weights)
+                return jnp.sum(w * r * r)
+
+            term = jnp.arange(n) == n - 1
+            return jnp.sum(jax.vmap(one)(qp, qv, us, term))
+
+        return float(_cost(qp, qv, us))
 
     def run(self, U_init, max_steps: int = 2000):
         """Run the episode; returns (visited qpos history, applied controls)."""

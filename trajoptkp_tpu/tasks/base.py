@@ -84,6 +84,14 @@ class Task:
     #            kinematics (unvendored submodule); our hand-authored arm
     #            needs its own equivalent pose, `tasks/pushing.py`)
     scene_robot_start: str = struct.field(pytree_node=False, default="csv")
+    # per-task random scene generator (ReturnRandomStartState,
+    # `/root/reference/src/ModelTranslator/TwoDPushing.cpp:29-188`): host
+    # fn (task, np rng) -> (robot_start (n_rj,), body_starts [list of (6,)
+    # lin+euler], residual_targets).  None = task-generic jitter in
+    # app._generate_scenes.
+    scene_generator_fn: callable = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def nres(self) -> int:

@@ -108,6 +108,62 @@ def build_push_scene_xml(num_obstacles, goal_start=(0.5, 0.1)) -> str:
 """
 
 
+def _make_push_scene_generator(constrained: bool, n_obstacles: int):
+    """Collision-free rejection-sampled clutter scenes
+    (TwoDPushing::ReturnRandomStartState,
+    `/root/reference/src/ModelTranslator/TwoDPushing.cpp:29-188`).
+
+    The reference samples obstacle xy in a window that GROWS each rejection
+    and re-checks MuJoCo collisions; our objects are r=0.05 cylinders on a
+    table, so the collision check is a circle-overlap test against every
+    already-placed object (plus the pushed object's start)."""
+    R = 0.05            # object cylinder radius (build_push_scene_xml)
+
+    def gen(task, rng):
+        if constrained:
+            start_x = rng.uniform(0.45, 0.46)
+            start_y = rng.uniform(-0.05, 0.05)
+            goal_x = rng.uniform(0.6, 0.65)
+            goal_y = rng.uniform(-0.2, 0.2)
+        else:
+            start_x = 0.42
+            start_y = rng.uniform(-0.05, 0.05)
+            ang = rng.uniform(-np.pi / 4, np.pi / 4)
+            dist = rng.uniform(0.28, 0.3)
+            goal_x = start_x + dist * np.cos(ang)
+            goal_y = start_y + dist * np.sin(ang)
+        placed = [(start_x, start_y)]
+        bodies = [np.array([start_x, start_y, 0.032, 0.0, 0.0, 0.0])]
+        heavy = n_obstacles >= 7
+        for _ in range(n_obstacles):
+            if heavy:
+                sx, sy, gx, gy = 0.08, 0.04, 0.001, 0.0005
+            else:
+                sx, sy, gx, gy = 0.01, 0.05, 0.0005, 0.0001
+            while True:
+                sx += gx
+                sy += gy
+                if constrained:
+                    x = rng.uniform(start_x, goal_x + 0.1)
+                    y = rng.uniform(goal_y - sy, goal_y + sy)
+                elif heavy:
+                    x = rng.uniform(goal_x - sx, goal_x + 0.5 * sx)
+                    y = rng.uniform(goal_y - sy, goal_y + sy)
+                else:
+                    x = rng.uniform(goal_x - sx, goal_x)
+                    y = rng.uniform(goal_y - sy, goal_y + sy)
+                if all(np.hypot(x - px, y - py) > 2 * R
+                       for px, py in placed):
+                    break
+            placed.append((x, y))
+            bodies.append(np.array([x, y, 0.032, 0.0, 0.0, 0.0]))
+        robot_start = np.asarray(task.qpos_start[:7], dtype=np.float64)
+        targets = np.array([goal_x, goal_y], dtype=np.float64)
+        return robot_start, bodies, targets
+
+    return gen
+
+
 def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
     """num_obstacles: 0 / 3 / 7 or "constrained" (TwoDPushing clutter levels
     noClutter / lowClutter / heavyClutter / constrainedClutter,
@@ -218,6 +274,9 @@ def make_pushing(num_obstacles=0, dtype=jnp.float64) -> Task:
         openloop_horizon=1000,
         mpc_horizon=50,
         scene_robot_start="task",
+        scene_generator_fn=_make_push_scene_generator(
+            constrained, num_obstacles if not constrained else 3
+        ),
     )
 
 
