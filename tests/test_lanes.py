@@ -153,3 +153,54 @@ def test_lane_step_jacobian_matches_ad():
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(J[:, 2 * n :]), np.asarray(B[0]),
                                rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("maker", ["threed_push", "box_sweep"])
+def test_lane_step_matches_generic_box_contacts(maker):
+    """Box-vs-primitive lane colliders (plane-box 4-deepest-corner manifold,
+    cylinder-box endpoint probes) vs the generic engine on contact-active
+    states from a driven rollout — the threeD_push / box_sweep families
+    (VERDICT r3 #10)."""
+    from trajoptkp_tpu.tasks.manipulation import (make_box_sweep,
+                                                  make_threed_push)
+
+    make = make_threed_push if maker == "threed_push" else make_box_sweep
+    task = make(dtype=jnp.float64)
+    model = task.model
+    assert lanes_supported(model)
+    step_l = build_smooth_step(model)
+
+    gstep = jax.jit(lambda a, b, c: step_state(model, a, b, c))
+    rng = np.random.default_rng(3)
+    u_seq = 0.4 * rng.standard_normal((50, model.nu))
+    qp_, qv_ = task.qpos_start, task.qvel_start
+    states = []
+    for t in range(50):
+        if t % 10 == 0 or t > 45:
+            states.append((np.asarray(qp_), np.asarray(qv_), u_seq[t]))
+        qp_, qv_ = gstep(qp_, qv_, jnp.asarray(u_seq[t]))
+    # add a tilted-box state: roll the free-joint quaternion 20 degrees so
+    # only 2 corners penetrate (the tilt regime of tests/test_box_tilt.py)
+    qp_t = np.asarray(task.qpos_start).copy()
+    free_j = [j for j, t_ in enumerate(np.asarray(model.jnt_type))
+              if int(t_) == 0]
+    qadr = int(np.asarray(model.jnt_qposadr)[free_j[0]])
+    a = np.deg2rad(20.0) / 2
+    qp_t[qadr + 3 : qadr + 7] = [np.cos(a), np.sin(a), 0, 0]
+    states.append((qp_t, np.asarray(task.qvel_start), u_seq[0]))
+
+    qp = jnp.asarray(np.stack([s[0] for s in states], axis=1))
+    qv = jnp.asarray(np.stack([s[1] for s in states], axis=1))
+    ct = jnp.asarray(np.stack([s[2] for s in states], axis=1))
+    qp2, qv2 = jax.jit(step_l)(qp, qv, ct)
+    ref = jax.vmap(
+        lambda a_, b_, c_: step_state(model, a_, b_, c_),
+        in_axes=1, out_axes=1,
+    )(qp, qv, ct)
+    # tolerance: the 4-deepest-corner selection (sorting network here,
+    # argsort in collision.plane_box) sums contact rows in a different
+    # order — ~1e-7 f64 reassociation noise through the Newton solve
+    np.testing.assert_allclose(np.asarray(qp2), np.asarray(ref[0]),
+                               rtol=3e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qv2), np.asarray(ref[1]),
+                               rtol=3e-6, atol=1e-7)

@@ -148,14 +148,15 @@ def openloop_campaign(
         from ..solver.lanes import (make_lane_batch_optimise,
                                     make_lane_phase_optimise)
 
-        # lane solver runs every lane for the full budget; arm-scale models
-        # use the phase-split variant (one fused program takes the TPU
-        # compiler the better part of an hour at nv ~13)
-        lcfg = cfg.replace(min_iterations=cfg.max_iterations)
-        if task.model.nv > 6:
-            run = make_lane_phase_optimise(task, lcfg, H)
+        # arm-scale models use the phase-split variant (one fused program
+        # takes the TPU compiler the better part of an hour at nv ~13); so
+        # do convergence-enabled runs — the phase host loop implements the
+        # reference's per-lane eps/lambda early exit, while the fused
+        # variant runs every lane for the full budget
+        if task.model.nv > 6 or cfg.min_iterations < cfg.max_iterations:
+            run = make_lane_phase_optimise(task, cfg, H)
         else:
-            run = jax.jit(make_lane_batch_optimise(task, lcfg, H))
+            run = jax.jit(make_lane_batch_optimise(task, cfg, H))
         batched = lambda qp, qv, U, tg: run(qp, qv, U, tg)
     elif batch_mode == "phases":
         from ..solver.batched import make_batched_phase_optimise

@@ -25,11 +25,13 @@ Differentiator.cpp:8-462`); tests/test_lanes.py pins lane-engine outputs to
 the generic engine to 1e-10 in f64.
 
 Scope: HINGE/SLIDE/FREE joints, joint limits, and contacts between
-plane/sphere/capsule/cylinder primitives — the acrobot/reaching/pushing
-task families.  Limits and contacts run through a register-style
+plane/sphere/capsule/cylinder primitives plus boxes against those
+primitives (plane-box 4-deepest-corner manifold, sphere/capsule/cylinder-
+box closest-point probes) — the acrobot/reaching/pushing/threeD_push/
+box_sweep task families.  Limits and contacts run through a register-style
 projected-Newton constraint solve matching dynamics/contact.py exactly.
-`lanes_supported(model)` gates dispatch; ball joints, flex and box contacts
-fall back to the generic engine.
+`lanes_supported(model)` gates dispatch; ball joints, flex and box-box
+contact pairs fall back to the generic engine.
 """
 
 from __future__ import annotations
@@ -58,6 +60,10 @@ _LANE_COLLIDERS = {
     (GEOM_CAPSULE, GEOM_CAPSULE),
     (GEOM_CAPSULE, GEOM_CYLINDER),
     (GEOM_CYLINDER, GEOM_CYLINDER),
+    (GEOM_PLANE, GEOM_BOX),
+    (GEOM_SPHERE, GEOM_BOX),
+    (GEOM_CAPSULE, GEOM_BOX),
+    (GEOM_CYLINDER, GEOM_BOX),
 }
 
 
@@ -65,8 +71,9 @@ def lanes_supported(model: Model) -> bool:
     """True when the lane engine covers this model's dynamics exactly:
     HINGE/SLIDE/FREE joints, joint limits, and contacts between the
     primitive pairs in _LANE_COLLIDERS (plane/sphere/capsule/cylinder
-    family — the pushing/reaching task suite); no ball joints, no flex,
-    no box contacts (threeD_push/box_sweep fall back to the generic engine).
+    family plus box-vs-primitive — the pushing/reaching/threeD_push/
+    box_sweep task suite); no ball joints, no flex, no box-box pairs
+    (box stacking falls back to the generic SAT+clipping engine).
     """
     jt = [int(t) for t in np.asarray(model.jnt_type)]
     if any(t not in (HINGE, SLIDE, FREE) for t in jt):
@@ -643,6 +650,68 @@ def _closest_seg_seg_reg(p0, p1, q0, q1):
     return _vadd(p0, _vscale(d1, s)), _vadd(q0, _vscale(d2, t_cl))
 
 
+def _sphere_box_core_reg(p, r, xp2, xm2, s2):
+    """Sphere (center register p, python-float radius r) vs box (center xp2,
+    rotation xm2, half-sizes s2): (dist, pos, n) with n from the sphere INTO
+    the box — collision.sphere_box semantics including the
+    center-inside-box least-margin-face case."""
+    def bcol(k):
+        return (xm2[0][k], xm2[1][k], xm2[2][k])
+
+    d = _vsub(p, xp2)
+    p_local = tuple(_vdot(bcol(k), d) for k in range(3))
+    sz = [float(s2[k]) for k in range(3)]
+    clamped = tuple(jnp.clip(p_local[k], -sz[k], sz[k]) for k in range(3))
+    delta = _vsub(p_local, clamped)
+    L = jnp.sqrt(jnp.maximum(_vdot(delta, delta), 0.0))
+    outside = L > 1e-9
+    safeL = jnp.maximum(L, 1e-9)
+    n_out = _vscale(delta, 1.0 / safeL)
+    dist_out = L - r
+
+    # center inside the box: push out along the least-penetration face
+    margins = tuple(sz[k] - jnp.abs(p_local[k]) for k in range(3))
+    is0 = (margins[0] <= margins[1]) & (margins[0] <= margins[2])
+    is1 = jnp.logical_and(~is0, margins[1] <= margins[2])
+    is2 = ~(is0 | is1)
+    m_min = jnp.where(is0, margins[0],
+                      jnp.where(is1, margins[1], margins[2]))
+    sgn = tuple(jnp.where(p_local[k] < 0, -1.0, 1.0) for k in range(3))
+    masks = (is0, is1, is2)
+    n_in = tuple(jnp.where(masks[k], sgn[k], 0.0) for k in range(3))
+    dist_in = -(m_min + r)
+    pos_in = tuple(
+        p_local[k] - n_in[k] * (dist_in * 0.5 + r) for k in range(3)
+    )
+
+    n_local = tuple(jnp.where(outside, n_out[k], n_in[k]) for k in range(3))
+    dist = jnp.where(outside, dist_out, dist_in)
+    pos_local = tuple(
+        jnp.where(outside, clamped[k], pos_in[k]) for k in range(3)
+    )
+    # back to world: v_world = sum_k col(k) * v_local[k]
+    n_world = _vadd(_vadd(_vscale(bcol(0), n_local[0]),
+                          _vscale(bcol(1), n_local[1])),
+                    _vscale(bcol(2), n_local[2]))
+    pos_world = _vadd(xp2, _vadd(_vadd(_vscale(bcol(0), pos_local[0]),
+                                       _vscale(bcol(1), pos_local[1])),
+                                 _vscale(bcol(2), pos_local[2])))
+    # normal from sphere into box (n_world points box-surface -> sphere)
+    return dist, pos_world, tuple(-x for x in n_world)
+
+
+# Knuth's optimal 19-comparator sorting network for 8 inputs — used to pick
+# the 4 deepest plane-box corners (collision.plane_box argsort[:4]) with
+# elementwise register compare-exchanges instead of a lane argsort.
+_SORT8_NET = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6), (1, 4), (3, 6),
+    (2, 4), (3, 5), (3, 4),
+)
+
+
 def _collide_regs(t1, t2, xp1, xm1, s1, xp2, xm2, s2):
     """Slots (dist, pos, frame) for one geom pair; normals geom1 -> geom2.
 
@@ -731,6 +800,52 @@ def _collide_regs(t1, t2, xp1, xm1, s1, xp2, xm2, s2):
             pa, float(s1[0]), pb, float(s2[0])
         )
         return [(dist, pos, _frame_from_normal_reg(n))]
+    if (t1, t2) == (GEOM_PLANE, GEOM_BOX):
+        # 4 deepest of the 8 box corners (collision.plane_box)
+        n = col(xm1, 2)
+        sz = [float(s2[k]) for k in range(3)]
+        bx, by, bz = col(xm2, 0), col(xm2, 1), col(xm2, 2)
+        cand = []
+        for sx in (-1.0, 1.0):
+            for sy in (-1.0, 1.0):
+                for sz_ in (-1.0, 1.0):
+                    c = _vadd(xp2, _vadd(
+                        _vscale(bx, sx * sz[0]),
+                        _vadd(_vscale(by, sy * sz[1]),
+                              _vscale(bz, sz_ * sz[2]))))
+                    cand.append((_vdot(n, _vsub(c, xp1)), c))
+        for (i, j) in _SORT8_NET:
+            di, ci = cand[i]
+            dj, cj = cand[j]
+            keep = di <= dj
+            cand[i] = (jnp.where(keep, di, dj),
+                       tuple(jnp.where(keep, a, b)
+                             for a, b in zip(ci, cj)))
+            cand[j] = (jnp.where(keep, dj, di),
+                       tuple(jnp.where(keep, b, a)
+                             for a, b in zip(ci, cj)))
+        out = []
+        for k in range(4):
+            dk, ck = cand[k]
+            out.append((dk, _vsub(ck, _vscale(n, 0.5 * dk)),
+                        _frame_from_normal_reg(n)))
+        return out
+    if (t1, t2) == (GEOM_SPHERE, GEOM_BOX):
+        dist, pos, n = _sphere_box_core_reg(
+            xp1, float(s1[0]), xp2, xm2, s2
+        )
+        return [(dist, pos, _frame_from_normal_reg(n))]
+    if (t1, t2) in ((GEOM_CAPSULE, GEOM_BOX), (GEOM_CYLINDER, GEOM_BOX)):
+        # two sphere-box probes at the capsule/cylinder endpoints
+        # (collision.capsule_box; cylinders dispatch there too)
+        axis = col(xm1, 2)
+        r, hl = float(s1[0]), float(s1[1])
+        out = []
+        for sgn_e in (1.0, -1.0):
+            e = _vadd(xp1, _vscale(axis, hl * sgn_e))
+            dist, pos, n = _sphere_box_core_reg(e, r, xp2, xm2, s2)
+            out.append((dist, pos, _frame_from_normal_reg(n)))
+        return out
     raise NotImplementedError(f"lane collider for geom types ({t1}, {t2})")
 
 
@@ -1049,7 +1164,13 @@ def build_fk_products(model: Model):
             "xpos": jnp.stack(
                 [jnp.stack([as_reg(c) for c in xpos[b]])
                  for b in range(T.nbody)]
-            )
+            ),
+            # body orientations for tilt/upright residuals (threeD_push,
+            # place) — (nbody, 4, ...L)
+            "xquat": jnp.stack(
+                [jnp.stack([as_reg(c) for c in xquat[b]])
+                 for b in range(T.nbody)]
+            ),
         }
         if T.nsite:
             sx = []

@@ -79,6 +79,7 @@ def lane_solver_supported(task: Task) -> bool:
             time=jnp.zeros((), dt),
             xpos=jnp.zeros((model.nbody, 3, 2), dt),
             site_xpos=jnp.zeros((model.nsite, 3, 2), dt),
+            xquat=jnp.zeros((model.nbody, 4, 2), dt),
         )
         r = jax.eval_shape(
             lambda d, t: task.residual_fn(model, d, t),
@@ -160,6 +161,7 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         data = Data(
             qpos=qpos, qvel=qvel, ctrl=ctrl, time=jnp.zeros((), dtype),
             xpos=prods["xpos"], site_xpos=prods.get("site_xpos"),
+            xquat=prods.get("xquat"),
         )
         return task.residual_fn(model, data, targets)
 
@@ -606,29 +608,51 @@ def make_lane_phase_optimise(task: Task, cfg: ILQRConfig, H: int):
         lamb = jnp.full((B_,), cfg.lambda_init, dtype)
         pct_b = jnp.zeros((B_,), dtype)
         ovf = jnp.zeros((B_,), jnp.int32)
-        for _ in range(cfg.max_iterations):
-            A, Bm, pct_b, ovf_i = jac_j(qpos, qvel, U)
-            ovf = jnp.maximum(ovf, ovf_i)
+        # per-lane convergence early-exit (Optimiser.cpp eps 0.02 +
+        # iLQR.cpp lambda-exit, mirroring solver/fused.py:110-121): a lane
+        # whose relative cost reduction drops below eps_converge after
+        # min_iterations — or whose lambda retry loop exited — freezes at
+        # its current nominal; num_iterations records where it stopped
+        done = jnp.zeros((B_,), bool)
+        iters = jnp.full((B_,), cfg.max_iterations, jnp.int32)
+        for it in range(cfg.max_iterations):
+            A, Bm, pct_i, ovf_i = jac_j(qpos, qvel, U)
+            pct_b = jnp.where(done, pct_b, pct_i)
+            ovf = jnp.maximum(ovf, jnp.where(done, 0, ovf_i))
             l_x, l_xx, l_u, l_uu = cost_j(qpos, qvel, U, targets)
-            k, K, dJ, lamb, _ = bp_j(A, Bm, l_x, l_xx, l_u, l_uu, lamb)
+            k, K, dJ, lamb_n, lam_exit = bp_j(A, Bm, l_x, l_xx, l_u, l_uu,
+                                              lamb)
+            lamb = jnp.where(done, lamb, lamb_n)
             qps_n, qvs_n, U_n, accept, best_cost = fp_j(
                 qpos, qvel, U, old_cost, k, K, targets
             )
-            acc = accept.astype(dtype)
+            upd = accept & ~done
+            acc = upd.astype(dtype)
             qpos = acc * qps_n + (1.0 - acc) * qpos
             qvel = acc * qvs_n + (1.0 - acc) * qvel
             U = acc * U_n + (1.0 - acc) * U
-            old_cost = jnp.where(accept, best_cost, old_cost)
+            new_cost = jnp.where(upd, best_cost, old_cost)
             lamb = jnp.where(
-                accept, lamb,
+                upd | done, lamb,
                 jnp.clip(lamb * cfg.lambda_factor**2,
                          cfg.min_lambda, cfg.max_lambda),
             )
+            converged = (old_cost - new_cost) \
+                / jnp.maximum(new_cost, 1e-12) < cfg.eps_converge
+            old_cost = new_cost
+            newly_done = ~done & (
+                lam_exit | (converged & (it + 1 >= cfg.min_iterations))
+            )
+            iters = jnp.where(newly_done, it + 1, iters)
+            done = done | newly_done
+            if cfg.min_iterations < cfg.max_iterations \
+                    and bool(jnp.all(done)):
+                break
         return LaneBatchResult(
             ctrl=U.transpose(2, 0, 1),
             initial_cost=initial,
             final_cost=old_cost,
-            num_iterations=jnp.full((B_,), cfg.max_iterations, jnp.int32),
+            num_iterations=iters,
             pct_derivs=pct_b,
             kp_overflow=ovf,
         )

@@ -88,12 +88,17 @@ def make_box_sweep(dtype=jnp.float64) -> Task:
     gd = model.jnt_dofadr[goal_j]
 
     def residual_fn(m, data, targets):
+        # axis=0 reductions keep this lane-safe (solver/lanes.py residual
+        # evaluation feeds (3, ...L) vectors; axis 0 is the spatial axis in
+        # both the generic (3,) and lane (3, L) layouts)
         goal_pos = data.xpos[goal_body]
-        r_goal = jnp.sqrt(jnp.sum((goal_pos[:2] - targets[:2]) ** 2) + 1e-12)
+        r_goal = jnp.sqrt(
+            jnp.sum((goal_pos[:2] - targets[:2]) ** 2, axis=0) + 1e-12
+        )
         gvel = data.qvel[gd : gd + 2] - targets[2:4]
-        r_vel = jnp.sqrt(jnp.sum(gvel * gvel) + 1e-12)
+        r_vel = jnp.sqrt(jnp.sum(gvel * gvel, axis=0) + 1e-12)
         ee = data.site_xpos[ee_site]
-        r_reach = jnp.sqrt(jnp.sum((ee - goal_pos) ** 2) + 1e-12)
+        r_reach = jnp.sqrt(jnp.sum((ee - goal_pos) ** 2, axis=0) + 1e-12)
         return jnp.stack([r_goal, r_vel, r_reach])
 
     def complete_fn(m, data, targets):
@@ -220,14 +225,18 @@ def make_threed_push(dtype=jnp.float64) -> Task:
     gd = model.jnt_dofadr[goal_j]
 
     def residual_fn(m, data, targets):
+        # lane-safe: spatial indexing/reductions on axis 0 (see box_sweep)
         goal_pos = data.xpos[goal_body]
         r_pos = goal_pos[:2] - targets[:2]
         gvel = data.qvel[gd : gd + 2]
-        # planar tilt: x/y components of the box z-axis (angularPosCost [1,1,0])
-        R = tm.quat_to_mat(data.xquat[goal_body])
-        tilt = R[:2, 2]
+        # planar tilt: x/y components of the box z-axis (angularPosCost
+        # [1,1,0]) — R[:2, 2] written out from quat components so the
+        # quaternion axis stays axis 0 in both layouts
+        q = data.xquat[goal_body]
+        w, x, y, z = q[0], q[1], q[2], q[3]
+        tilt = jnp.stack([2 * (x * z + w * y), 2 * (y * z - w * x)])
         ee = data.site_xpos[ee_site]
-        r_reach = jnp.sqrt(jnp.sum((ee - goal_pos) ** 2) + 1e-12)
+        r_reach = jnp.sqrt(jnp.sum((ee - goal_pos) ** 2, axis=0) + 1e-12)
         return jnp.concatenate([r_pos, gvel, tilt, r_reach[None]])
 
     def complete_fn(m, data, targets):
