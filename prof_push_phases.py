@@ -12,12 +12,17 @@ from trajoptkp_tpu.solver.ilqr import ILQRConfig
 from trajoptkp_tpu.solver import batched as sb
 from trajoptkp_tpu.app import _batch_init_controls
 
+import os, sys
 dtype = jnp.float32
 task = make_task("pushing_no_clutter", dtype=dtype)
 H, N = 1000, 100
-cfg = ILQRConfig(max_iterations=10, min_iterations=10, deriv_mode="ad_time")
+DERIV = sys.argv[1] if len(sys.argv) > 1 else "ad_time"
+MINN = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+if MINN != 1:
+    task = task.replace(keypoint_cfg=task.keypoint_cfg.replace(min_N=MINN))
+cfg = ILQRConfig(max_iterations=10, min_iterations=10, deriv_mode=DERIV)
 qpos, qvel, targets = load_scenes_for_task(task, "/root/reference/TestTasks/push_ncl", N)
-U = _batch_init_controls(task, H, qpos, qvel, targets)
+qpos, qvel, U = _batch_init_controls(task, H, qpos, qvel, targets)
 
 # rebuild the phase fns like make_batched_phase_optimise does
 from trajoptkp_tpu.derivs.fd import default_chunk_size
@@ -47,7 +52,7 @@ def derivs_b(traj, tg):
         vel_sv = tr.qvel[:H][:, sv_idx]
         mask = generate_keypoints(kp_cfg, vel_sv, dt)
         return compute_derivatives(with_targets(t), tr, mask, budget,
-                                   mode="ad_time", chunk_size=cfg.deriv_chunk)
+                                   mode=DERIV, chunk_size=cfg.deriv_chunk)
     return jax.vmap(one)(traj, tg)
 
 @jax.jit

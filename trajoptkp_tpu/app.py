@@ -205,6 +205,23 @@ def main(argv=None):
         )
         print(json.dumps({"rows": len(rows), "first": rows[0],
                           "last": rows[-1]}))
+    elif mode == "Analyse_fd_clamp":
+        # reference FD solver-clamp divergence (MuJoCoHelper.cpp:925-937);
+        # f64/CPU experiment — see bench.campaigns.fd_clamp_analysis
+        from .bench.campaigns import fd_clamp_analysis
+
+        rows = fd_clamp_analysis(
+            task, horizon=args.horizon or 100,
+            out_dir=os.path.join(args.out_dir, "fd_clamp"),
+        )
+        con = [r for r in rows if r["contact_active"]]
+        print(json.dumps({
+            "rows": len(rows), "contact_states": len(con),
+            "max_clamp_vs_exact": max(
+                (r["clamp_vs_exact"] for r in rows), default=0.0),
+            "max_fd_vs_exact": max(
+                (r["fd_vs_exact"] for r in rows), default=0.0),
+        }))
     elif mode == "Replay":
         # interactive viewer replay when a display exists, PNG sequence
         # otherwise (Visualiser.cpp:233-271 surface; viz/replay.py)

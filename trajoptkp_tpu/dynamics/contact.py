@@ -341,7 +341,8 @@ def assemble_constraints(model: Model, data: Data) -> Rows:
 _NEWTON_ITERS_WARM = 5
 
 
-def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Data:
+def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray,
+                      solver_iters: int = None) -> Data:
     """Projected-Newton solve of the primal soft-constraint problem.
 
     Warmstart semantics (the reference relies on MuJoCo's qacc_warmstart,
@@ -388,6 +389,11 @@ def solve_constraints(model: Model, data: Data, qfrc_smooth: jnp.ndarray) -> Dat
     else:
         x_init = a0
         n_iters = _NEWTON_ITERS
+    if solver_iters is not None:
+        # FD solver-clamp parity mode (MuJoCoHelper.cpp:925-937): the
+        # reference pins maxIter during finite differencing; this override
+        # reproduces that clamp for the divergence experiment
+        n_iters = solver_iters
 
     x = _newton_solver(model.nv, n_iters)(M, a0, J, aref, invR, x_init)
     y = J @ x - aref

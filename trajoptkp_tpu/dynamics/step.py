@@ -24,7 +24,7 @@ from .model import Data, Model
 from .smooth import fwd_velocity_smooth
 
 
-def forward(model: Model, data: Data) -> Data:
+def forward(model: Model, data: Data, solver_iters: int = None) -> Data:
     """Forward dynamics: fill FK products, forces, and qacc (mj_forward).
 
     With constraints present, qacc is the projected-Newton solution directly
@@ -36,7 +36,7 @@ def forward(model: Model, data: Data) -> Data:
     data = forward_kinematics(model, data)
     data = fwd_velocity_smooth(model, data)
     qfrc_smooth = data.qfrc_passive + data.qfrc_actuator - data.qfrc_bias
-    data = constraint_force(model, data, qfrc_smooth)
+    data = constraint_force(model, data, qfrc_smooth, solver_iters)
     if model.contact_pairs or any(model.jnt_limited):
         return data  # qacc + warmstart filled by the constraint solver
     qacc = sym_solve(data.qM, qfrc_smooth)
@@ -89,4 +89,19 @@ def step_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
         warmstart=warmstart,
     )
     out = step(model, data)
+    return out.qpos, out.qvel
+
+
+def step_state_clamped(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
+                       ctrl: jnp.ndarray, solver_iters: int = 5):
+    """The reference's FD kernel: a COLD constraint solve clamped to
+    `solver_iters` Newton iterations (`MuJoCoHelper.cpp:925-937` pins the
+    solver to maxIter 5, tolerance 0 while finite-differencing — it
+    differentiates a different function than its rollouts integrate).
+    Exists for the Analyse_fd_clamp divergence experiment; the production
+    derivative path differentiates the exact rollout step (step_state)."""
+    data = Data(
+        qpos=qpos, qvel=qvel, ctrl=ctrl, time=jnp.zeros((), dtype=qpos.dtype),
+    )
+    out = advance(model, forward(model, data, solver_iters=solver_iters))
     return out.qpos, out.qvel

@@ -169,6 +169,7 @@ def make_lane_sync_mpc(
                 data = Data(
                     qpos=qp_, qvel=qv_, ctrl=u, time=jnp.zeros((), dtype),
                     xpos=prods["xpos"], site_xpos=prods.get("site_xpos"),
+                    xquat=prods.get("xquat"),
                 )
                 r = task.residual_fn(model, data, targets)
                 c_t = jnp.sum(w_run[:, None] * r * r, axis=0)
