@@ -204,3 +204,70 @@ def test_lane_step_matches_generic_box_contacts(maker):
                                rtol=3e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(qv2), np.asarray(ref[1]),
                                rtol=3e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_lane_contact_jacobian_matches_generic_implicit():
+    """Lane jacfwd at CONTACT-ACTIVE panda push states == the generic
+    engine's implicit-AD Jacobians (keypoint_jacobians mode="ad").  Both
+    engines differentiate the constraint solve with the implicit-function
+    rule at the converged point (contact._newton_solver;
+    lanes._solve_rows_x custom_jvp), so the agreement here pins the lane
+    implicit tangent — the round-5 replacement for forward-mode through the
+    Newton scan."""
+    from trajoptkp_tpu.config.loader import make_task
+    from trajoptkp_tpu.derivs import jobs_from_mask, keypoint_jacobians
+
+    task = make_task("pushing_no_clutter", dtype=jnp.float64)
+    model, sv = task.model, task.sv
+    step_l = build_smooth_step(model)
+    n = sv.ndof
+
+    gstep = jax.jit(lambda a, b, c: step_state(model, a, b, c))
+    rng = np.random.default_rng(0)
+    u_seq = 0.3 * rng.standard_normal((60, model.nu))
+    qp_, qv_ = task.qpos_start, task.qvel_start
+    states = []
+    for t in range(60):
+        if t in (0, 30, 55, 58):  # free flight + contact-active tail
+            states.append((np.asarray(qp_), np.asarray(qv_), u_seq[t]))
+        qp_, qv_ = gstep(qp_, qv_, jnp.asarray(u_seq[t]))
+
+    from trajoptkp_tpu.dynamics.lanes import build_tangent_ops
+    tangent_apply, tangent_diff = build_tangent_ops(model)
+    order = jnp.array([int(i) for i in sv.order])
+
+    for qp_np, qv_np, u_np in states:
+        qp = jnp.asarray(qp_np)[:, None]
+        qv = jnp.asarray(qv_np)[:, None]
+        ct = jnp.asarray(u_np)[:, None]
+        qp_nom, qv_nom = step_l(qp, qv, ct)
+
+        def g(z):
+            dq = jnp.zeros((model.nv, 1), qp.dtype).at[order, 0].set(z[:n])
+            dv = jnp.zeros((model.nv, 1), qp.dtype).at[order, 0].set(
+                z[n : 2 * n]
+            )
+            qp2, qv2 = step_l(
+                tangent_apply(qp, dq), qv + dv, ct + z[2 * n :][:, None]
+            )
+            dpos = tangent_diff(qp_nom, qp2)[order, 0]
+            dvel = (qv2 - qv_nom)[order, 0]
+            return jnp.concatenate([dpos, dvel])
+
+        J = jax.jacfwd(g)(jnp.zeros((2 * n + model.nu,)))
+
+        mask = jnp.ones((1, n), dtype=bool)
+        jobs = jobs_from_mask(mask, n)
+        A, B, _ = keypoint_jacobians(
+            model, sv, qp[:, 0][None], qv[:, 0][None], ct[:, 0][None],
+            jobs, mode="ad",
+        )
+        np.testing.assert_allclose(
+            np.asarray(J[:, : 2 * n]), np.asarray(A[0]),
+            rtol=1e-6, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(J[:, 2 * n :]), np.asarray(B[0]),
+            rtol=1e-6, atol=1e-8,
+        )

@@ -10,6 +10,8 @@ Usage: python diag_push.py <mode>
     f64_cpu_ad_time    - f64 CPU reference run (slow)
     f32_tpu_si1        - bench config but set_interval min_N=1
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import sys
 import os
 

@@ -1,4 +1,6 @@
 """Does the init-controls rollout actually contact/push the object?"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 import sys
 

@@ -1,4 +1,6 @@
 """Compare lane-solver intermediates vs generic path on push (CPU f64, tiny)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 import numpy as np
 import jax

@@ -1,4 +1,6 @@
 """Compile each lane-solver phase separately (push_ncl) to find the slow one."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import sys, time
 import numpy as np
 import jax

@@ -1,4 +1,6 @@
 """Lane solver parity vs batched phase solver (CPU f64, acrobot)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import sys, time
 import numpy as np
 import jax

@@ -1,4 +1,6 @@
 """Lane solver on push_ncl (TPU): compile time + throughput + reduction."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import sys
 import time
 import numpy as np

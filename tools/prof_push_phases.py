@@ -1,4 +1,6 @@
 """Phase-level timing of the push_ncl N=100 batched workload on TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 import jax
 import jax.numpy as jnp

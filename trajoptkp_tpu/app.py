@@ -210,6 +210,11 @@ def main(argv=None):
         # f64/CPU experiment — see bench.campaigns.fd_clamp_analysis
         from .bench.campaigns import fd_clamp_analysis
 
+        if task.model.dtype == jnp.float32:
+            raise SystemExit(
+                "Analyse_fd_clamp needs f64 (central-FD eps 1e-6 is below "
+                "f32 resolution; rerun without --f32 on CPU)"
+            )
         rows = fd_clamp_analysis(
             task, horizon=args.horizon or 100,
             out_dir=os.path.join(args.out_dir, "fd_clamp"),

@@ -152,8 +152,11 @@ def openloop_campaign(
         # takes the TPU compiler the better part of an hour at nv ~13); so
         # do convergence-enabled runs — the phase host loop implements the
         # reference's per-lane eps/lambda early exit, while the fused
-        # variant runs every lane for the full budget
-        if task.model.nv > 6 or cfg.min_iterations < cfg.max_iterations:
+        # variant runs every lane for the full budget — and iterative_error
+        # (host-driven bisection rounds only exist on the phase path)
+        if (task.model.nv > 6
+                or cfg.min_iterations < cfg.max_iterations
+                or task.keypoint_cfg.name == "iterative_error"):
             run = make_lane_phase_optimise(task, cfg, H)
         else:
             run = jax.jit(make_lane_batch_optimise(task, cfg, H))

@@ -933,20 +933,32 @@ def _contact_rows_regs(T: _Topo, q, v, xpos, xquat, cdof):
     return rows
 
 
-def _solve_rows(M, a0, rows, n_iters):
-    """Projected-Newton solve of the soft-constraint problem on generic
-    rows (contact.solve_constraints semantics: cold start, fixed iteration
-    count, shared-expansion merit line search over the alpha ladder).
+from functools import partial
 
-    Returns (x regs, qfrc_constraint regs).  Differentiable by plain jacfwd:
-    cold-started iterations converge well inside the budget, so the tangent
-    recursion is converged too (the warmstart caveat in
-    contact._newton_solver does not apply).
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
+def _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn):
+    """Primal projected-Newton solve on generic constraint rows, returning
+    the stacked solution x (nv, ...L).  Differentiated IMPLICITLY (defjvp
+    below) — the lane twin of contact._newton_solver's implicit-function
+    rule: forward-mode AD through the truncated Newton scan is n_iters x
+    more expensive per tangent, bloats the traced graph ~4x (the round-5
+    root cause of the 41-minute TPU compile of the arm-scale lane jacobian
+    phase), and differentiates the APPROXIMATE solve instead of the
+    converged solution.  All tangents share one primal Hessian
+    factorisation, hoisted out of jacfwd's tangent vmap.
+
+    dofs_static: tuple of per-row dof-index tuples (static);
+    dyn: tuple of per-row (coeffs tuple, aref, invR) register pytrees.
 
     The iteration loop is a lax.scan (body traced ONCE): the unrolled body
     is ~10-20k elementwise ops for an arm-scale model, and unrolling 8x
     produces MLIR large enough to stall/kill the TPU compiler."""
     nv = len(a0)
+    rows = [
+        (dofs, coeffs, aref, invR)
+        for dofs, (coeffs, aref, invR) in zip(dofs_static, dyn)
+    ]
 
     def newton_iter(x_stack, _):
         x = [x_stack[i] for i in range(nv)]
@@ -965,7 +977,7 @@ def _solve_rows(M, a0, rows, n_iters):
             gy = g * y
             for d, c in zip(dofs, coeffs):
                 grad[d] = grad[d] + c * gy
-        H = [row[:] for row in M]
+        H = [list(row) for row in M]
         for (dofs, coeffs, _, _), g in zip(rows, gates):
             for m1 in range(len(dofs)):
                 gc = g * coeffs[m1]
@@ -1011,8 +1023,76 @@ def _solve_rows(M, a0, rows, n_iters):
         return jnp.stack([x[i] + alpha * dx[i] for i in range(nv)]), None
 
     x_stack, _ = jax.lax.scan(
-        newton_iter, jnp.stack(a0), None, length=n_iters
+        newton_iter, jnp.stack(a0), None, length=n_iters,
+        unroll=min(unroll, n_iters),
     )
+    return x_stack
+
+
+@_solve_rows_x.defjvp
+def _solve_rows_x_jvp(dofs_static, n_iters, unroll, primals, tangents):
+    """Implicit-function tangent at the converged point
+    (contact._newton_solver semantics, register layout): with optimality
+    residual R(x; th) = M (x - a0) + sum_r J_r^T invR_r min(y_r, 0) = 0,
+    dx = -H^{-1} (dR/dth . dth) where H = M + sum_r gate_r J_r J_r^T invR_r
+    is the (primal-only) Newton Hessian on the locally-constant active
+    set."""
+    M, a0, dyn = primals
+    dM, da0, ddyn = tangents
+    nv = len(a0)
+    x_stack = _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn)
+    x = [x_stack[i] for i in range(nv)]
+
+    def R(M_, a0_, dyn_):
+        out = [
+            sum(M_[i][j] * (x[j] - a0_[j]) for j in range(nv))
+            for i in range(nv)
+        ]
+        for dofs, (coeffs, aref, invR) in zip(dofs_static, dyn_):
+            y = sum(c * x[d] for d, c in zip(dofs, coeffs)) - aref
+            f = jnp.where(y < 0, y, 0.0) * invR
+            for d, c in zip(dofs, coeffs):
+                out[d] = out[d] + c * f
+        return tuple(out)
+
+    _, g_dot = jax.jvp(R, (M, a0, dyn), (dM, da0, ddyn))
+
+    # Newton Hessian at x* from the PRIMAL values only
+    H = [[M[i][j] for j in range(nv)] for i in range(nv)]
+    for dofs, (coeffs, aref, invR) in zip(dofs_static, dyn):
+        y = sum(c * x[d] for d, c in zip(dofs, coeffs)) - aref
+        g = (y < 0).astype(x_stack.dtype) * invR
+        for m1 in range(len(dofs)):
+            gc = g * coeffs[m1]
+            for m2 in range(m1, len(dofs)):
+                d1, d2 = dofs[m1], dofs[m2]
+                val = gc * coeffs[m2]
+                H[d1][d2] = H[d1][d2] + val
+                if d1 != d2:
+                    H[d2][d1] = H[d2][d1] + val
+    for i in range(nv):
+        H[i][i] = H[i][i] + 1e-10
+    dx = [-z for z in _chol_solve_regs(H, list(g_dot))]
+    return x_stack, jnp.stack(dx)
+
+
+def _solve_rows(M, a0, rows, n_iters, unroll=1):
+    """Projected-Newton solve of the soft-constraint problem on generic
+    rows (contact.solve_constraints semantics: cold start, fixed iteration
+    count, shared-expansion merit line search over the alpha ladder).
+
+    Returns (x regs, qfrc_constraint regs).  The solution is differentiated
+    implicitly (_solve_rows_x custom_jvp above); the constraint force is
+    recomputed from x outside the custom rule, so its active-set gating
+    differentiates consistently."""
+    nv = len(a0)
+    if not rows:
+        return list(a0), [jnp.zeros_like(a0[0])] * nv
+    dofs_static = tuple(tuple(r[0]) for r in rows)
+    dyn = tuple((tuple(r[1]), r[2], r[3]) for r in rows)
+    Mt = tuple(tuple(row) for row in M)
+    x_stack = _solve_rows_x(dofs_static, n_iters, unroll, Mt,
+                            tuple(a0), dyn)
     x = [x_stack[i] for i in range(nv)]
     ys = [
         sum(c * x[d] for d, c in zip(dofs, coeffs)) - aref
@@ -1072,7 +1152,8 @@ def differentiate_q_regs(T: _Topo, q1, q2):
     return out
 
 
-def build_smooth_step(model: Model, want_fk: bool = False):
+def build_smooth_step(model: Model, want_fk: bool = False,
+                      newton_unroll: int = 1):
     """step(qpos (nq, ...L), qvel (nv, ...L), ctrl (nu, ...L)) ->
     (qpos', qvel'[, fk]) — lane-last, semantics identical to step.py
     (forward [+ joint-limit/contact constraint solve] + implicit-damping
@@ -1101,7 +1182,8 @@ def build_smooth_step(model: Model, want_fk: bool = False):
                 rows = rows + _contact_rows_regs(
                     T, q, v, fk["xpos"], fk["xquat"], fk["cdof"]
                 )
-            _, qfrc_con = _solve_rows(M, a0, rows, _LIMIT_NEWTON_ITERS)
+            _, qfrc_con = _solve_rows(M, a0, rows, _LIMIT_NEWTON_ITERS,
+                                      unroll=newton_unroll)
             qfrc = [qfrc[i] + qfrc_con[i] for i in range(T.nv)]
         # implicit joint damping: (M + h D) qacc = rhs  (step.py advance)
         MhD = [

@@ -93,15 +93,25 @@ def step_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
 
 def step_state_clamped(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray,
-                       ctrl: jnp.ndarray, solver_iters: int = 5):
-    """The reference's FD kernel: a COLD constraint solve clamped to
+                       ctrl: jnp.ndarray, solver_iters: int = 5,
+                       warmstart: jnp.ndarray = None):
+    """The reference's FD kernel: a constraint solve clamped to
     `solver_iters` Newton iterations (`MuJoCoHelper.cpp:925-937` pins the
     solver to maxIter 5, tolerance 0 while finite-differencing — it
     differentiates a different function than its rollouts integrate).
     Exists for the Analyse_fd_clamp divergence experiment; the production
-    derivative path differentiates the exact rollout step (step_state)."""
+    derivative path differentiates the exact rollout step (step_state).
+
+    Warm vs cold modelling choice: the reference perturbs COPIED mjData that
+    carries qacc_warmstart from the nominal rollout (`CpMjData`,
+    `MuJoCoHelper.cpp:732-741`), so its clamped FD solve is warmstarted; the
+    default here (warmstart=None) is a cold solve, which UPPER-BOUNDS the
+    clamp's divergence relative to the reference's actual kernel.  Pass the
+    nominal step's warmstart delta (Data.warmstart from the unclamped step)
+    to reproduce the warmstarted variant."""
     data = Data(
         qpos=qpos, qvel=qvel, ctrl=ctrl, time=jnp.zeros((), dtype=qpos.dtype),
+        warmstart=warmstart,
     )
     out = advance(model, forward(model, data, solver_iters=solver_iters))
     return out.qpos, out.qvel

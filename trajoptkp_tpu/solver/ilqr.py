@@ -87,6 +87,15 @@ class ILQRConfig:
     lane_kp_budget: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # lane-solver latency knobs for SMALL batches (MPC at B=1): partially
+    # unroll the time scans (rollout / line search) and the inner Newton
+    # scan so XLA fuses across iterations — at B=1 every register op is a
+    # scalar kernel and per-launch overhead dominates (walker H=20 replan:
+    # 83 ms at unroll 1).  Keep 1 for big-batch throughput programs (the
+    # unrolled graph multiplies compile time, which is already the arm-scale
+    # bottleneck).
+    lane_scan_unroll: int = struct.field(pytree_node=False, default=1)
+    lane_newton_unroll: int = struct.field(pytree_node=False, default=1)
 
 
 class Trajectory(NamedTuple):
