@@ -433,7 +433,7 @@ def _sync_mpc_campaign(task, cfg, args):
 def _async_mpc_campaign(task, cfg, args):
     from .bench import async_mpc_campaign
 
-    N = min(args.num_scenes, 10)  # async trials are wall-clock serial
+    N = min(args.num_scenes, 25)  # async trials are wall-clock serial
     if args.scenes_dir:
         # reference TestTasks scenes (TestingMPC loads them per trial,
         # GenTestingData.cpp:376-383)

@@ -18,6 +18,18 @@ zero tile padding, and `jax.jvp`/`jacfwd` tangents batch as a small leading
 axis (k, L) — still lane-minor.  This is the speed-of-light layout for
 small-n robotics models on TPU.
 
+Round 5 added a SECOND style for the hot inner algebra (CRBA / mass matrix
+/ Newton constraint solve): STACKED lane-last tensors ((nv, nv, L) etc.)
+with einsum contractions.  The register form traces ~36k StableHLO ops per
+arm-scale step — which stalled the TPU compiler (41-minute jacobian-phase
+compiles) and made B=1 MPC replans launch-latency-bound — while the
+stacked form is ~2x smaller in graph and wins at small batch; the register
+form still wins large-batch rollout/line-search throughput, where XLA
+fuses the scalar chains into few kernels.  `build_smooth_step(stacked=...)`
+selects; solver phases pick per role (see ILQRConfig.lane_step_stacked).
+Constraint-solve tangents use the implicit-function rule in BOTH styles
+(custom_jvp at the converged point, matching contact._newton_solver).
+
 Semantics are IDENTICAL to step.py's smooth path (mj_kinematics / mj_crb /
 mj_rne / mj_fwdActuation / implicit-damping Euler — the function the
 reference differentiates, `/root/reference/src/Differentiator/
@@ -381,9 +393,37 @@ def _cross_force(v, f):
     return _vadd(_vcross(w, fw), _vcross(vl, fl)) + _vcross(w, fl)
 
 
-def _chol_solve_regs(A, b):
-    """Cholesky solve on an n x n nested-list register matrix (unrolled)."""
-    n = len(b)
+def _stack_regs(entries, dtype=None):
+    """Broadcast a flat list of registers / python scalars to a common lane
+    shape and stack as (len, *lane_shape)."""
+    arrs = [jnp.asarray(e, dtype) for e in entries]
+    shape = jnp.broadcast_shapes(*[a.shape for a in arrs])
+    return jnp.stack([jnp.broadcast_to(a, shape) for a in arrs])
+
+
+def _bcast_lane(st, lane_shape):
+    """Broadcast stacked (lead, *L1) to (lead, *lane_shape) with the lane
+    dims right-aligned (numpy broadcasting semantics on the lane part)."""
+    L1 = st.shape[1:]
+    st = st.reshape(st.shape[:1] + (1,) * (len(lane_shape) - len(L1)) + L1)
+    return jnp.broadcast_to(st, st.shape[:1] + lane_shape)
+
+
+def _chol_solve_stacked(S, B):
+    """Cholesky solve on STACKED lane-last operands:
+    S (n, n, *L), B (n, *L) -> (n, *L).
+
+    Unrolled register algorithm over the stacked rows: every op is
+    elementwise over the lane axis, so XLA fuses the whole factorisation
+    into a handful of VPU kernels with zero layout changes.  (XLA's batched
+    `jnp.linalg.cholesky` + triangular_solve was tried here in round 5 and
+    is ~10x SLOWER on many tiny lane-last matrices — it loops columns with
+    dynamic-slice updates and forces (L, n, n) transposes; the unrolled
+    form costs ~n^3/3 graph ops, which is acceptable now that the rest of
+    the step is stacked.)"""
+    n = S.shape[0]
+    A = [[S[i, j] for j in range(n)] for i in range(n)]
+    b = [B[i] for i in range(n)]
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = A[j][j]
@@ -408,69 +448,137 @@ def _chol_solve_regs(A, b):
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    return x
+    return jnp.stack(x)
+
+
+def _cross_motion_s(v6, m6):
+    """Stacked spatial motion cross v x m on (6, *L) tensors."""
+    w, vl = v6[:3], v6[3:]
+    mw, ml = m6[:3], m6[3:]
+    return jnp.concatenate(
+        [jnp.cross(w, mw, axis=0),
+         jnp.cross(w, ml, axis=0) + jnp.cross(vl, mw, axis=0)], axis=0
+    )
+
+
+def _cross_force_s(v6, f6):
+    """Stacked spatial force cross v x* f on (6, *L) tensors."""
+    w, vl = v6[:3], v6[3:]
+    fw, fl = f6[:3], f6[3:]
+    return jnp.concatenate(
+        [jnp.cross(w, fw, axis=0) + jnp.cross(vl, fl, axis=0),
+         jnp.cross(w, fl, axis=0)], axis=0
+    )
+
+
+def _spatial_inertia_stacked(T: _Topo, b, xpos_b, xquat_b, lane_shape,
+                             dtype):
+    """World-frame 6x6 spatial inertia of body b about the ORIGIN as a
+    stacked (6, 6, *L) tensor (einsum blocks instead of ~350 unrolled
+    register ops per body; same formulas as fk.py's cinert structure)."""
+    xiq = _qmul(xquat_b, tuple(T.body_iquat[b]))
+    R = _qmat(xiq)
+    c = _vadd(xpos_b, _qrot(xquat_b, tuple(T.body_ipos[b])))
+    m = float(T.body_mass[b])
+    I3 = jnp.asarray(T.body_inertia[b], dtype)
+    Rs = _bcast_lane(
+        _stack_regs([R[i][j] for i in range(3) for j in range(3)], dtype),
+        lane_shape,
+    ).reshape((3, 3) + lane_shape)
+    cs = _bcast_lane(_stack_regs(list(c), dtype), lane_shape)
+    Ic = jnp.einsum("ik...,k,jk...->ij...", Rs, I3, Rs)
+    z = jnp.zeros(lane_shape, dtype)
+    cx, cy, cz = cs[0], cs[1], cs[2]
+    chat = jnp.stack([
+        jnp.stack([z, -cz, cy]),
+        jnp.stack([cz, z, -cx]),
+        jnp.stack([-cy, cx, z]),
+    ])                                                   # (3, 3, *L)
+    UL = Ic + m * jnp.einsum("ik...,jk...->ij...", chat, chat)
+    eye3 = jnp.eye(3, dtype=dtype).reshape(
+        (3, 3) + (1,) * len(lane_shape)
+    )
+    LR = _bcast_lane(
+        (m * eye3).reshape((9,) + (1,) * len(lane_shape)), lane_shape
+    ).reshape((3, 3) + lane_shape)
+    top = jnp.concatenate([UL, m * chat], axis=1)        # (3, 6, *L)
+    bot = jnp.concatenate([-m * chat, LR], axis=1)
+    return jnp.concatenate([top, bot], axis=0)           # (6, 6, *L)
 
 
 def _smooth_force_and_M(T: _Topo, q, v, u):
-    """qfrc_smooth registers + mass-matrix register rows (CRBA + RNE,
-    matching smooth.py's masked-einsum formulation exactly)."""
+    """STACKED qfrc_smooth (nv, *L) + mass matrix (nv, nv, *L) (CRBA + RNE,
+    matching smooth.py's masked-einsum formulation exactly; the register
+    form — ~7k unrolled HLOs at arm scale — is what stalled the TPU
+    compiler and made B=1 MPC launch-latency-bound, round-5 probes)."""
     xpos, xquat, cdof = _fk_registers(T, q)
+    nv = T.nv
+    v_s = _stack_regs(v)
+    dtype = v_s.dtype
+    cdofs = _stack_regs(
+        [c for i in range(nv) for c in cdof[i]], dtype
+    )
+    lane_shape = jnp.broadcast_shapes(cdofs.shape[1:], v_s.shape[1:])
+    cdofs = _bcast_lane(cdofs, lane_shape).reshape((nv, 6) + lane_shape)
+    v_s = _bcast_lane(v_s, lane_shape)
+    ln = len(lane_shape)
 
     # world-frame spatial inertias (shared by CRBA composites and RNE)
     I_b = [None] * T.nbody
     for b in range(1, T.nbody):
-        I_b[b] = _spatial_inertia(T, b, xpos[b], xquat[b])
+        I_b[b] = _spatial_inertia_stacked(
+            T, b, xpos[b], xquat[b], lane_shape, dtype
+        )
 
     # composite rigid-body inertias: accumulate subtree sums up the tree
-    crb = [None] + [[row[:] for row in I_b[b]] for b in range(1, T.nbody)]
+    crb = [None] + [I_b[b] for b in range(1, T.nbody)]
     for b in range(T.nbody - 1, 0, -1):
         p = T.parent[b]
         if p > 0:
-            crb[p] = [
-                [crb[p][i][j] + crb[b][i][j] for j in range(6)]
-                for i in range(6)
-            ]
+            crb[p] = crb[p] + crb[b]
 
-    # dof -> body, dof ancestors (host constants)
-    dof_body = [None] * T.nv
+    # dof -> body (host constants)
+    dof_body = [None] * nv
     for j in range(len(T.jnt_type)):
         for i in _joint_dofs(T, j):
             dof_body[i] = T.jnt_bodyid[j]
 
-    # M[i][j] = cdof_i . crb[body(j)] cdof_j for i ancestor-dof of body(j)
-    M = [[0.0] * T.nv for _ in range(T.nv)]
-    for jd in range(T.nv):
+    # M = cdof_i . crb[body(j)] cdof_j on the ancestor mask
+    crb_dof = jnp.stack([crb[dof_body[jd]] for jd in range(nv)])
+    f = jnp.einsum("nij...,nj...->ni...", crb_dof, cdofs)   # (nv, 6, *L)
+    raw = jnp.einsum("mi...,ni...->mn...", cdofs, f)        # (nv, nv, *L)
+    W = np.zeros((nv, nv))
+    for jd in range(nv):
         bj = dof_body[jd]
-        f_j = _mat6_vec(crb[bj], cdof[jd])
-        for idx in range(T.nv):
+        for idx in range(nv):
             if T.anc[bj, idx] and idx <= jd:
-                mij = _vdot(cdof[idx][:3], f_j[:3]) + _vdot(
-                    cdof[idx][3:], f_j[3:]
-                )
-                M[idx][jd] = mij
-                M[jd][idx] = mij
-        M[jd][jd] = M[jd][jd] + float(T.dof_armature[jd])
+                W[idx, jd] = 1.0
+    Wl = jnp.asarray(W, dtype).reshape((nv, nv) + (1,) * ln)
+    eye = jnp.eye(nv, dtype=dtype).reshape((nv, nv) + (1,) * ln)
+    Mr = Wl * raw
+    M = Mr + jnp.swapaxes(Mr, 0, 1) - eye * Mr
+    M = M + eye * jnp.asarray(T.dof_armature, dtype).reshape(
+        (nv, 1) + (1,) * ln
+    )
 
     # bias (RNE over the origin-centered quantities; smooth.py formulas)
-    cdof_v = [_vscale(cdof[i][:3], v[i]) + _vscale(cdof[i][3:], v[i])
-              for i in range(T.nv)]
-    # per-body velocity = sum of ancestor-dof twists
-    zero6 = (0.0,) * 6
+    cdof_v = cdofs * v_s[:, None]                           # (nv, 6, *L)
+    zero6 = jnp.zeros((6,) + lane_shape, dtype)
     cvel = [zero6] * T.nbody
     for b in range(1, T.nbody):
         acc = cvel[T.parent[b]]
         for j in T.body_joints[b]:
             for i in _joint_dofs(T, j):
-                acc = tuple(a + d for a, d in zip(acc, cdof_v[i]))
+                acc = acc + cdof_v[i]
         cvel[b] = acc
     # cdofdot rules (model._path_dofs dotmask semantics):
     #   hinge/slide dof i: cross with everything STRICTLY before i;
     #   free translation dofs: world-fixed axes, derivative zero;
     #   free rotation dofs: body-fixed axes, cross with the FULL body twist.
     g = [float(x) for x in T.gravity]
-    a0 = (0.0, 0.0, 0.0, -g[0], -g[1], -g[2])
-    cacc = [a0] * T.nbody
-    cdofdot = [None] * T.nv
+    a0w = jnp.zeros((6,) + lane_shape, dtype).at[3].set(-g[0]) \
+        .at[4].set(-g[1]).at[5].set(-g[2])
+    cacc = [a0w] * T.nbody
     for b in range(1, T.nbody):
         pre = cvel[T.parent[b]]
         acc_b = cacc[T.parent[b]]
@@ -479,66 +587,69 @@ def _smooth_force_and_M(T: _Topo, q, v, u):
                 dofs = _joint_dofs(T, j)
                 full = pre
                 for i in dofs:
-                    full = tuple(p + d for p, d in zip(full, cdof_v[i]))
-                for i in dofs[:3]:
-                    cdofdot[i] = zero6
+                    full = full + cdof_v[i]
                 for i in dofs[3:]:
-                    cdofdot[i] = _cross_motion(full, cdof[i])
-                    acc_b = tuple(
-                        a + d * v[i] for a, d in zip(acc_b, cdofdot[i])
-                    )
+                    dd = _cross_motion_s(full, cdofs[i])
+                    acc_b = acc_b + dd * v_s[i]
                 pre = full
             else:
                 i = T.jnt_dofadr[j]
-                cdofdot[i] = _cross_motion(pre, cdof[i])
-                acc_b = tuple(
-                    a + d * v[i] for a, d in zip(acc_b, cdofdot[i])
-                )
-                pre = tuple(p + d for p, d in zip(pre, cdof_v[i]))
+                dd = _cross_motion_s(pre, cdofs[i])
+                acc_b = acc_b + dd * v_s[i]
+                pre = pre + cdof_v[i]
         cacc[b] = acc_b
 
     # per-body force, accumulated up the tree; bias_i = cdof_i . F_subtree
     cfrc = [zero6] * T.nbody
     for b in range(1, T.nbody):
-        Iv = _mat6_vec(I_b[b], cvel[b])
-        Ia = _mat6_vec(I_b[b], cacc[b])
-        cfrc[b] = tuple(
-            x + y for x, y in zip(Ia, _cross_force(cvel[b], Iv))
-        )
+        Iv = jnp.einsum("ij...,j...->i...", I_b[b], cvel[b])
+        Ia = jnp.einsum("ij...,j...->i...", I_b[b], cacc[b])
+        cfrc[b] = Ia + _cross_force_s(cvel[b], Iv)
     for b in range(T.nbody - 1, 0, -1):
         p = T.parent[b]
         if p > 0:
-            cfrc[p] = tuple(x + y for x, y in zip(cfrc[p], cfrc[b]))
-    bias = [
-        _vdot(cdof[i][:3], cfrc[dof_body[i]][:3])
-        + _vdot(cdof[i][3:], cfrc[dof_body[i]][3:])
-        for i in range(T.nv)
-    ]
+            cfrc[p] = cfrc[p] + cfrc[b]
+    cfrc_dof = jnp.stack([cfrc[dof_body[i]] for i in range(nv)])
+    bias = jnp.einsum("ni...,ni...->n...", cdofs, cfrc_dof)  # (nv, *L)
 
     # passive: damping + joint springs (smooth.py passive_force)
-    passive = [-float(T.dof_damping[i]) * v[i] for i in range(T.nv)]
+    passive = -jnp.asarray(T.dof_damping, dtype).reshape(
+        (nv,) + (1,) * ln
+    ) * v_s
     for j in range(len(T.jnt_type)):
         k = float(T.jnt_stiffness[j])
         if k != 0.0 and T.jnt_type[j] in (HINGE, SLIDE):
             qa, da = T.jnt_qposadr[j], T.jnt_dofadr[j]
-            passive[da] = passive[da] - k * (
-                q[qa] - float(T.qpos_spring[qa])
+            passive = passive.at[da].add(
+                -k * (q[qa] - float(T.qpos_spring[qa]))
             )
 
     # actuators: direct-drive gear on the joint dof (smooth.py actuator_force)
-    qfrc_act = [0.0] * T.nv
-    for a in range(T.nu):
-        ua = u[a]
-        if T.ctrllimited[a]:
-            lo, hi = float(T.ctrlrange[a][0]), float(T.ctrlrange[a][1])
-            ua = jnp.clip(ua, lo, hi)
-        j = T.trnid[a]
-        da = T.jnt_dofadr[j]
-        qfrc_act[da] = qfrc_act[da] + ua * float(T.gear[a][0])
+    if T.nu:
+        u_s = _bcast_lane(_stack_regs(u, dtype), lane_shape)
+        lo = np.array([
+            T.ctrlrange[a][0] if T.ctrllimited[a] else -np.inf
+            for a in range(T.nu)
+        ])
+        hi = np.array([
+            T.ctrlrange[a][1] if T.ctrllimited[a] else np.inf
+            for a in range(T.nu)
+        ])
+        u_c = jnp.clip(
+            u_s,
+            jnp.asarray(lo, dtype).reshape((T.nu,) + (1,) * ln),
+            jnp.asarray(hi, dtype).reshape((T.nu,) + (1,) * ln),
+        )
+        act = np.zeros((nv, T.nu))
+        for a in range(T.nu):
+            act[T.jnt_dofadr[T.trnid[a]], a] = float(T.gear[a][0])
+        qfrc_act = jnp.einsum(
+            "vu,u...->v...", jnp.asarray(act, dtype), u_c
+        )
+    else:
+        qfrc_act = jnp.zeros((nv,) + lane_shape, dtype)
 
-    qfrc_smooth = [
-        passive[i] + qfrc_act[i] - bias[i] for i in range(T.nv)
-    ]
+    qfrc_smooth = passive + qfrc_act - bias
     return qfrc_smooth, M, {"xpos": xpos, "xquat": xquat, "cdof": cdof}
 
 
@@ -936,8 +1047,173 @@ def _contact_rows_regs(T: _Topo, q, v, xpos, xquat, cdof):
 from functools import partial
 
 
+def _chol_solve_reglist(A, b):
+    """Cholesky solve on an n x n nested-list register matrix (unrolled)."""
+    n = len(b)
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(s)
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+
+
+def _smooth_force_and_M_regs(T: _Topo, q, v, u):
+    """qfrc_smooth registers + mass-matrix register rows (CRBA + RNE,
+    matching smooth.py's masked-einsum formulation exactly; register form — best THROUGHPUT at large lane counts, where XLA fuses the scalar chains into few kernels)."""
+    xpos, xquat, cdof = _fk_registers(T, q)
+
+    # world-frame spatial inertias (shared by CRBA composites and RNE)
+    I_b = [None] * T.nbody
+    for b in range(1, T.nbody):
+        I_b[b] = _spatial_inertia(T, b, xpos[b], xquat[b])
+
+    # composite rigid-body inertias: accumulate subtree sums up the tree
+    crb = [None] + [[row[:] for row in I_b[b]] for b in range(1, T.nbody)]
+    for b in range(T.nbody - 1, 0, -1):
+        p = T.parent[b]
+        if p > 0:
+            crb[p] = [
+                [crb[p][i][j] + crb[b][i][j] for j in range(6)]
+                for i in range(6)
+            ]
+
+    # dof -> body, dof ancestors (host constants)
+    dof_body = [None] * T.nv
+    for j in range(len(T.jnt_type)):
+        for i in _joint_dofs(T, j):
+            dof_body[i] = T.jnt_bodyid[j]
+
+    # M[i][j] = cdof_i . crb[body(j)] cdof_j for i ancestor-dof of body(j)
+    M = [[0.0] * T.nv for _ in range(T.nv)]
+    for jd in range(T.nv):
+        bj = dof_body[jd]
+        f_j = _mat6_vec(crb[bj], cdof[jd])
+        for idx in range(T.nv):
+            if T.anc[bj, idx] and idx <= jd:
+                mij = _vdot(cdof[idx][:3], f_j[:3]) + _vdot(
+                    cdof[idx][3:], f_j[3:]
+                )
+                M[idx][jd] = mij
+                M[jd][idx] = mij
+        M[jd][jd] = M[jd][jd] + float(T.dof_armature[jd])
+
+    # bias (RNE over the origin-centered quantities; smooth.py formulas)
+    cdof_v = [_vscale(cdof[i][:3], v[i]) + _vscale(cdof[i][3:], v[i])
+              for i in range(T.nv)]
+    # per-body velocity = sum of ancestor-dof twists
+    zero6 = (0.0,) * 6
+    cvel = [zero6] * T.nbody
+    for b in range(1, T.nbody):
+        acc = cvel[T.parent[b]]
+        for j in T.body_joints[b]:
+            for i in _joint_dofs(T, j):
+                acc = tuple(a + d for a, d in zip(acc, cdof_v[i]))
+        cvel[b] = acc
+    # cdofdot rules (model._path_dofs dotmask semantics):
+    #   hinge/slide dof i: cross with everything STRICTLY before i;
+    #   free translation dofs: world-fixed axes, derivative zero;
+    #   free rotation dofs: body-fixed axes, cross with the FULL body twist.
+    g = [float(x) for x in T.gravity]
+    a0 = (0.0, 0.0, 0.0, -g[0], -g[1], -g[2])
+    cacc = [a0] * T.nbody
+    cdofdot = [None] * T.nv
+    for b in range(1, T.nbody):
+        pre = cvel[T.parent[b]]
+        acc_b = cacc[T.parent[b]]
+        for j in T.body_joints[b]:
+            if T.jnt_type[j] == FREE:
+                dofs = _joint_dofs(T, j)
+                full = pre
+                for i in dofs:
+                    full = tuple(p + d for p, d in zip(full, cdof_v[i]))
+                for i in dofs[:3]:
+                    cdofdot[i] = zero6
+                for i in dofs[3:]:
+                    cdofdot[i] = _cross_motion(full, cdof[i])
+                    acc_b = tuple(
+                        a + d * v[i] for a, d in zip(acc_b, cdofdot[i])
+                    )
+                pre = full
+            else:
+                i = T.jnt_dofadr[j]
+                cdofdot[i] = _cross_motion(pre, cdof[i])
+                acc_b = tuple(
+                    a + d * v[i] for a, d in zip(acc_b, cdofdot[i])
+                )
+                pre = tuple(p + d for p, d in zip(pre, cdof_v[i]))
+        cacc[b] = acc_b
+
+    # per-body force, accumulated up the tree; bias_i = cdof_i . F_subtree
+    cfrc = [zero6] * T.nbody
+    for b in range(1, T.nbody):
+        Iv = _mat6_vec(I_b[b], cvel[b])
+        Ia = _mat6_vec(I_b[b], cacc[b])
+        cfrc[b] = tuple(
+            x + y for x, y in zip(Ia, _cross_force(cvel[b], Iv))
+        )
+    for b in range(T.nbody - 1, 0, -1):
+        p = T.parent[b]
+        if p > 0:
+            cfrc[p] = tuple(x + y for x, y in zip(cfrc[p], cfrc[b]))
+    bias = [
+        _vdot(cdof[i][:3], cfrc[dof_body[i]][:3])
+        + _vdot(cdof[i][3:], cfrc[dof_body[i]][3:])
+        for i in range(T.nv)
+    ]
+
+    # passive: damping + joint springs (smooth.py passive_force)
+    passive = [-float(T.dof_damping[i]) * v[i] for i in range(T.nv)]
+    for j in range(len(T.jnt_type)):
+        k = float(T.jnt_stiffness[j])
+        if k != 0.0 and T.jnt_type[j] in (HINGE, SLIDE):
+            qa, da = T.jnt_qposadr[j], T.jnt_dofadr[j]
+            passive[da] = passive[da] - k * (
+                q[qa] - float(T.qpos_spring[qa])
+            )
+
+    # actuators: direct-drive gear on the joint dof (smooth.py actuator_force)
+    qfrc_act = [0.0] * T.nv
+    for a in range(T.nu):
+        ua = u[a]
+        if T.ctrllimited[a]:
+            lo, hi = float(T.ctrlrange[a][0]), float(T.ctrlrange[a][1])
+            ua = jnp.clip(ua, lo, hi)
+        j = T.trnid[a]
+        da = T.jnt_dofadr[j]
+        qfrc_act[da] = qfrc_act[da] + ua * float(T.gear[a][0])
+
+    qfrc_smooth = [
+        passive[i] + qfrc_act[i] - bias[i] for i in range(T.nv)
+    ]
+    return qfrc_smooth, M, {"xpos": xpos, "xquat": xquat, "cdof": cdof}
+
+
+
+
 @partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
-def _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn):
+def _solve_rows_x_regs(dofs_static, n_iters, unroll, M, a0, dyn):
     """Primal projected-Newton solve on generic constraint rows, returning
     the stacked solution x (nv, ...L).  Differentiated IMPLICITLY (defjvp
     below) — the lane twin of contact._newton_solver's implicit-function
@@ -989,7 +1265,7 @@ def _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn):
                         H[d2][d1] = H[d2][d1] + val
         for i in range(nv):
             H[i][i] = H[i][i] + 1e-10  # contact._newton_iterations jitter
-        dx = [-z for z in _chol_solve_regs(H, grad)]
+        dx = [-z for z in _chol_solve_reglist(H, grad)]
         # shared-expansion line search on the merit (contact.py ladder)
         Jdx = [
             sum(c * dx[d] for d, c in zip(dofs, coeffs))
@@ -1029,8 +1305,8 @@ def _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn):
     return x_stack
 
 
-@_solve_rows_x.defjvp
-def _solve_rows_x_jvp(dofs_static, n_iters, unroll, primals, tangents):
+@_solve_rows_x_regs.defjvp
+def _solve_rows_x_regs_jvp(dofs_static, n_iters, unroll, primals, tangents):
     """Implicit-function tangent at the converged point
     (contact._newton_solver semantics, register layout): with optimality
     residual R(x; th) = M (x - a0) + sum_r J_r^T invR_r min(y_r, 0) = 0,
@@ -1040,7 +1316,7 @@ def _solve_rows_x_jvp(dofs_static, n_iters, unroll, primals, tangents):
     M, a0, dyn = primals
     dM, da0, ddyn = tangents
     nv = len(a0)
-    x_stack = _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn)
+    x_stack = _solve_rows_x_regs(dofs_static, n_iters, unroll, M, a0, dyn)
     x = [x_stack[i] for i in range(nv)]
 
     def R(M_, a0_, dyn_):
@@ -1072,17 +1348,17 @@ def _solve_rows_x_jvp(dofs_static, n_iters, unroll, primals, tangents):
                     H[d2][d1] = H[d2][d1] + val
     for i in range(nv):
         H[i][i] = H[i][i] + 1e-10
-    dx = [-z for z in _chol_solve_regs(H, list(g_dot))]
+    dx = [-z for z in _chol_solve_reglist(H, list(g_dot))]
     return x_stack, jnp.stack(dx)
 
 
-def _solve_rows(M, a0, rows, n_iters, unroll=1):
+def _solve_rows_regs(M, a0, rows, n_iters, unroll=1):
     """Projected-Newton solve of the soft-constraint problem on generic
     rows (contact.solve_constraints semantics: cold start, fixed iteration
     count, shared-expansion merit line search over the alpha ladder).
 
     Returns (x regs, qfrc_constraint regs).  The solution is differentiated
-    implicitly (_solve_rows_x custom_jvp above); the constraint force is
+    implicitly (_solve_rows_x_regs custom_jvp above); the constraint force is
     recomputed from x outside the custom rule, so its active-set gating
     differentiates consistently."""
     nv = len(a0)
@@ -1091,7 +1367,7 @@ def _solve_rows(M, a0, rows, n_iters, unroll=1):
     dofs_static = tuple(tuple(r[0]) for r in rows)
     dyn = tuple((tuple(r[1]), r[2], r[3]) for r in rows)
     Mt = tuple(tuple(row) for row in M)
-    x_stack = _solve_rows_x(dofs_static, n_iters, unroll, Mt,
+    x_stack = _solve_rows_x_regs(dofs_static, n_iters, unroll, Mt,
                             tuple(a0), dyn)
     x = [x_stack[i] for i in range(nv)]
     ys = [
@@ -1103,6 +1379,170 @@ def _solve_rows(M, a0, rows, n_iters, unroll=1):
         f = -jnp.where(y < 0, y, 0.0) * invR
         for d, c in zip(dofs, coeffs):
             qfrc[d] = qfrc[d] + c * f
+    return x, qfrc
+
+
+
+
+def _stack_solver_operands(dofs_static, Ms, a0s, dyn):
+    """Broadcast stacked solver operands Ms (nv, nv, *L) / a0s (nv, *L)
+    against the constraint-row registers and build the dense lane-last
+    tensors: J (R, nv, *L) (zeros off the support), arefs (R, *L),
+    invRs (R, *L).  The dense form turns the per-row register loops of the
+    Newton body into ~20 einsum/elementwise HLOs — the register form was
+    ~1.5k ops per iteration, which made the arm-scale step graph stall the
+    TPU compiler and left B=1 MPC replans launch-latency-bound."""
+    nv = a0s.shape[0]
+    entries = []
+    for dofs, (coeffs, aref, invR) in zip(dofs_static, dyn):
+        entries += list(coeffs) + [aref, invR]
+    st = _stack_regs(entries, Ms.dtype)
+    lane_shape = jnp.broadcast_shapes(
+        st.shape[1:], Ms.shape[2:], a0s.shape[1:]
+    )
+    st = _bcast_lane(st, lane_shape)
+    Ms = _bcast_lane(Ms.reshape((nv * nv,) + Ms.shape[2:]),
+                     lane_shape).reshape((nv, nv) + lane_shape)
+    a0s = _bcast_lane(a0s, lane_shape)
+    zero = jnp.zeros(lane_shape, st.dtype)
+    Jrows, arefs, invRs = [], [], []
+    pos = 0
+    for dofs, (coeffs, aref, invR) in zip(dofs_static, dyn):
+        crow = [zero] * nv
+        for idx, d in enumerate(dofs):
+            crow[d] = st[pos + idx]
+        pos += len(coeffs)
+        Jrows.append(jnp.stack(crow))
+        arefs.append(st[pos])
+        invRs.append(st[pos + 1])
+        pos += 2
+    return Ms, a0s, jnp.stack(Jrows), jnp.stack(arefs), jnp.stack(invRs)
+
+
+def _eye_like(nv, lane_ndim, dtype):
+    return jnp.eye(nv, dtype=dtype).reshape((nv, nv) + (1,) * lane_ndim)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
+def _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn):
+    """Primal projected-Newton solve on generic constraint rows, returning
+    the stacked solution x (nv, ...L); STACKED lane-last math (dense J,
+    batched Cholesky) per _stack_solver_operands.  Differentiated
+    IMPLICITLY (defjvp below) — the lane twin of contact._newton_solver's
+    implicit-function rule: forward-mode AD through the truncated Newton
+    scan is n_iters x more expensive per tangent and differentiates the
+    APPROXIMATE solve instead of the converged solution.  All tangents
+    share one primal Hessian factorisation, hoisted out of jacfwd's
+    tangent vmap.
+
+    dofs_static: tuple of per-row dof-index tuples (static);
+    dyn: tuple of per-row (coeffs tuple, aref, invR) register pytrees."""
+    Ms, a0s, J, arefs, invRs = _stack_solver_operands(
+        dofs_static, M, a0, dyn
+    )
+    nv = a0s.shape[0]
+    dtype = Ms.dtype
+    lane_ndim = Ms.ndim - 2
+    eye = _eye_like(nv, lane_ndim, dtype)
+    al = jnp.asarray(_ALPHA_LADDER, dtype)
+    al_L = al.reshape((len(_ALPHA_LADDER),) + (1,) * lane_ndim)
+    al_RL = al.reshape((len(_ALPHA_LADDER),) + (1,) * (lane_ndim + 1))
+
+    def newton_iter(x, _):
+        y = jnp.einsum("rn...,n...->r...", J, x) - arefs
+        gate = jnp.where(y < 0, invRs, 0.0)
+        e = x - a0s
+        Me = jnp.einsum("nm...,m...->n...", Ms, e)
+        grad = Me + jnp.einsum("rn...,r...->n...", J, gate * y)
+        H = Ms + jnp.einsum("rn...,r...,rm...->nm...", J, gate, J) \
+            + 1e-10 * eye  # contact._newton_iterations jitter
+        dx = -_chol_solve_stacked(H, grad)
+        # shared-expansion line search on the merit (contact.py ladder)
+        Jdx = jnp.einsum("rn...,n...->r...", J, dx)
+        Mdx = jnp.einsum("nm...,m...->n...", Ms, dx)
+        eMe = jnp.sum(e * Me, axis=0)
+        eMdx = jnp.sum(e * Mdx, axis=0)
+        dMd = jnp.sum(dx * Mdx, axis=0)
+        ya = y[None] + al_RL * Jdx[None]                      # (A, R, *L)
+        pen = jnp.sum(
+            invRs[None] * jnp.square(jnp.where(ya < 0, ya, 0.0)), axis=1
+        )
+        cost = 0.5 * (
+            eMe[None] + 2.0 * al_L * eMdx[None]
+            + al_L * al_L * dMd[None]
+        ) + 0.5 * pen                                          # (A, *L)
+        pen0 = jnp.sum(invRs * jnp.square(jnp.where(y < 0, y, 0.0)), axis=0)
+        c0 = 0.5 * eMe + 0.5 * pen0
+        idx = jnp.argmin(cost, axis=0)
+        best_c = jnp.take_along_axis(cost, idx[None], axis=0)[0]
+        best_a = al[idx]
+        alpha = jnp.where(best_c < c0, best_a, 0.0)
+        return x + alpha * dx, None
+
+    x_stack, _ = jax.lax.scan(
+        newton_iter, a0s, None, length=n_iters,
+        unroll=min(unroll, n_iters),
+    )
+    return x_stack
+
+
+@_solve_rows_x.defjvp
+def _solve_rows_x_jvp(dofs_static, n_iters, unroll, primals, tangents):
+    """Implicit-function tangent at the converged point
+    (contact._newton_solver semantics, stacked lane layout): with
+    optimality residual R(x; th) = M (x - a0) + J^T (invR * min(y, 0)) = 0,
+    dx = -H^{-1} (dR/dth . dth) where H = M + J^T G J is the (primal-only)
+    Newton Hessian on the locally-constant active set."""
+    M, a0, dyn = primals
+    dM, da0, ddyn = tangents
+    nv = a0.shape[0]
+    x = _solve_rows_x(dofs_static, n_iters, unroll, M, a0, dyn)
+
+    def Rres(M_, a0_, dyn_):
+        Ms_, a0s_, J_, arefs_, invRs_ = _stack_solver_operands(
+            dofs_static, M_, a0_, dyn_
+        )
+        y_ = jnp.einsum("rn...,n...->r...", J_, x) - arefs_
+        f_ = jnp.where(y_ < 0, y_, 0.0) * invRs_
+        return (
+            jnp.einsum("nm...,m...->n...", Ms_, x - a0s_)
+            + jnp.einsum("rn...,r...->n...", J_, f_)
+        )
+
+    _, g_dot = jax.jvp(Rres, (M, a0, dyn), (dM, da0, ddyn))
+
+    Ms, a0s, J, arefs, invRs = _stack_solver_operands(dofs_static, M, a0, dyn)
+    y = jnp.einsum("rn...,n...->r...", J, x) - arefs
+    gate = jnp.where(y < 0, invRs, 0.0)
+    H = Ms + jnp.einsum("rn...,r...,rm...->nm...", J, gate, J) \
+        + 1e-10 * _eye_like(nv, Ms.ndim - 2, Ms.dtype)
+    dx = -_chol_solve_stacked(H, g_dot)
+    return x, dx
+
+
+def _solve_rows(Ms, a0s, rows, n_iters, unroll=1):
+    """Projected-Newton solve of the soft-constraint problem on generic
+    rows (contact.solve_constraints semantics: cold start, fixed iteration
+    count, shared-expansion merit line search over the alpha ladder).
+
+    Ms (nv, nv, *L) and a0s (nv, *L) are STACKED lane-last tensors; rows
+    are register tuples (dofs, coeffs, aref, invR).  Returns stacked
+    (x (nv, *L), qfrc_constraint (nv, *L)).  The solution is differentiated
+    implicitly (_solve_rows_x custom_jvp above); the constraint force is
+    recomputed from x outside the custom rule, so its active-set gating
+    differentiates consistently."""
+    nv = a0s.shape[0]
+    if not rows:
+        return a0s, jnp.zeros_like(a0s)
+    dofs_static = tuple(tuple(r[0]) for r in rows)
+    dyn = tuple((tuple(r[1]), r[2], r[3]) for r in rows)
+    x = _solve_rows_x(dofs_static, n_iters, unroll, Ms, a0s, dyn)
+    _, _, J, arefs, invRs = _stack_solver_operands(
+        dofs_static, Ms, a0s, dyn
+    )
+    y = jnp.einsum("rn...,n...->r...", J, x) - arefs
+    f = -jnp.where(y < 0, y, 0.0) * invRs
+    qfrc = jnp.einsum("rn...,r...->n...", J, f)
     return x, qfrc
 
 
@@ -1153,7 +1593,7 @@ def differentiate_q_regs(T: _Topo, q1, q2):
 
 
 def build_smooth_step(model: Model, want_fk: bool = False,
-                      newton_unroll: int = 1):
+                      newton_unroll: int = 1, stacked: bool = True):
     """step(qpos (nq, ...L), qvel (nv, ...L), ctrl (nu, ...L)) ->
     (qpos', qvel'[, fk]) — lane-last, semantics identical to step.py
     (forward [+ joint-limit/contact constraint solve] + implicit-damping
@@ -1170,19 +1610,19 @@ def build_smooth_step(model: Model, want_fk: bool = False,
     )
     has_constraints = has_limits or bool(T.contact_pairs)
 
-    def step(qpos, qvel, ctrl):
+    def step_regs(qpos, qvel, ctrl):
         q = [qpos[i] for i in range(T.nq)]
         v = [qvel[i] for i in range(T.nv)]
         u = [ctrl[i] for i in range(T.nu)]
-        qfrc, M, fk = _smooth_force_and_M(T, q, v, u)
+        qfrc, M, fk = _smooth_force_and_M_regs(T, q, v, u)
         if has_constraints:
-            a0 = _chol_solve_regs(M, qfrc)
+            a0 = _chol_solve_reglist(M, qfrc)
             rows = _limit_rows_regs(T, q, v)
             if T.contact_pairs:
                 rows = rows + _contact_rows_regs(
                     T, q, v, fk["xpos"], fk["xquat"], fk["cdof"]
                 )
-            _, qfrc_con = _solve_rows(M, a0, rows, _LIMIT_NEWTON_ITERS,
+            _, qfrc_con = _solve_rows_regs(M, a0, rows, _LIMIT_NEWTON_ITERS,
                                       unroll=newton_unroll)
             qfrc = [qfrc[i] + qfrc_con[i] for i in range(T.nv)]
         # implicit joint damping: (M + h D) qacc = rhs  (step.py advance)
@@ -1193,7 +1633,7 @@ def build_smooth_step(model: Model, want_fk: bool = False,
             ]
             for i in range(T.nv)
         ]
-        qacc = _chol_solve_regs(MhD, qfrc)
+        qacc = _chol_solve_reglist(MhD, qfrc)
         v_new = [v[i] + h * qacc[i] for i in range(T.nv)]
         q_new = integrate_q_regs(T, q, v_new, h)
         qp2 = jnp.stack(q_new)
@@ -1224,6 +1664,67 @@ def build_smooth_step(model: Model, want_fk: bool = False,
             prods["site_xpos"] = jnp.stack(sx)
         return qp2, qv2, prods
 
+
+    def step_stacked(qpos, qvel, ctrl):
+        q = [qpos[i] for i in range(T.nq)]
+        v = [qvel[i] for i in range(T.nv)]
+        u = [ctrl[i] for i in range(T.nu)]
+        qfrc, M, fk = _smooth_force_and_M(T, q, v, u)  # stacked (nv[,nv],*L)
+        if has_constraints:
+            a0 = _chol_solve_stacked(M, qfrc)
+            rows = _limit_rows_regs(T, q, v)
+            if T.contact_pairs:
+                rows = rows + _contact_rows_regs(
+                    T, q, v, fk["xpos"], fk["xquat"], fk["cdof"]
+                )
+            _, qfrc_con = _solve_rows(M, a0, rows, _LIMIT_NEWTON_ITERS,
+                                      unroll=newton_unroll)
+            qfrc = qfrc + qfrc_con
+        # implicit joint damping: (M + h D) qacc = rhs  (step.py advance)
+        ln = M.ndim - 2
+        MhD = M + h * jnp.eye(T.nv, dtype=M.dtype).reshape(
+            (T.nv, T.nv) + (1,) * ln
+        ) * jnp.asarray(T.dof_damping, M.dtype).reshape(
+            (T.nv, 1) + (1,) * ln
+        )
+        qacc = _chol_solve_stacked(MhD, qfrc)
+        v_new_s = _bcast_lane(
+            _stack_regs(v, M.dtype), qacc.shape[1:]
+        ) + h * qacc
+        v_new = [v_new_s[i] for i in range(T.nv)]
+        q_new = integrate_q_regs(T, q, v_new, h)
+        qp2 = jnp.stack(
+            [jnp.broadcast_to(jnp.asarray(x, M.dtype), v_new_s.shape[1:])
+             for x in q_new]
+        )
+        qv2 = v_new_s
+        if not want_fk:
+            return qp2, qv2
+
+        def as_reg(c):
+            c = jnp.asarray(c, qpos.dtype)
+            return jnp.broadcast_to(c, qpos[0].shape)
+
+        xpos, xquat = fk["xpos"], fk["xquat"]
+        prods = {
+            "xpos": jnp.stack(
+                [jnp.stack([as_reg(c) for c in xpos[b]])
+                 for b in range(T.nbody)]
+            ),
+            "qpos": qpos,
+            "qvel": qvel,
+            "ctrl": ctrl,
+        }
+        if T.nsite:
+            sx = []
+            for s in range(T.nsite):
+                b = T.site_bodyid[s]
+                sp = _vadd(xpos[b], _qrot(xquat[b], tuple(T.site_pos[s])))
+                sx.append(jnp.stack([as_reg(c) for c in sp]))
+            prods["site_xpos"] = jnp.stack(sx)
+        return qp2, qv2, prods
+
+    step = step_stacked if stacked else step_regs
     return step
 
 

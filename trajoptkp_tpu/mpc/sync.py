@@ -117,10 +117,14 @@ def _build_lane_replan(
     nu = model.nu
     assert task.keypoint_cfg.name != "iterative_error", \
         "lane MPC needs a jit-able jacobian phase (IE rounds are host-driven)"
-    mpc_cfg = cfg.replace(max_iterations=1, min_iterations=1)
+    stacked = True if cfg.lane_step_stacked is None \
+        else cfg.lane_step_stacked
+    mpc_cfg = cfg.replace(max_iterations=1, min_iterations=1,
+                          lane_step_stacked=stacked)
     ph = make_lane_batch_optimise(task, mpc_cfg, horizon).phases
     step_l = build_smooth_step(model, want_fk=True,
-                               newton_unroll=cfg.lane_newton_unroll)
+                               newton_unroll=cfg.lane_newton_unroll,
+                               stacked=stacked)
     limits = control_limits(task)
     rng_width = limits[:, 1] - limits[:, 0]
     rng_width = jnp.where(jnp.isfinite(rng_width), rng_width, 0.0)

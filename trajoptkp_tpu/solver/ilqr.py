@@ -96,6 +96,13 @@ class ILQRConfig:
     # bottleneck).
     lane_scan_unroll: int = struct.field(pytree_node=False, default=1)
     lane_newton_unroll: int = struct.field(pytree_node=False, default=1)
+    # lane step style for the rollout/line-search phases: None = auto
+    # (register form — best THROUGHPUT at batch scale; the MPC executor
+    # overrides to stacked for B=1 latency).  The jacobian phase always
+    # uses the stacked step (smallest graph + implicit-AD tangents).
+    lane_step_stacked: Optional[bool] = struct.field(
+        pytree_node=False, default=None
+    )
 
 
 class Trajectory(NamedTuple):

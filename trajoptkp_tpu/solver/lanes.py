@@ -181,8 +181,10 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
     n = sv.ndof
     order = [int(i) for i in sv.order]
     dtype = model.dtype
+    use_stacked = bool(cfg.lane_step_stacked)
     step_l = build_smooth_step(model, want_fk=True,
-                               newton_unroll=cfg.lane_newton_unroll)
+                               newton_unroll=cfg.lane_newton_unroll,
+                               stacked=use_stacked)
     fk_l = build_fk_products(model)
     tangent_apply, tangent_diff = build_tangent_ops(model)
     alphas_np = np.asarray(default_alphas(cfg.num_parallel_rollouts, dtype))
@@ -277,13 +279,13 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         qvel = jnp.concatenate([qvs, qvN[None]], axis=0)
         return qpos, qvel, costs
 
-    def _slot_jacobians(qp_f, qv_f, u_f):
+    def _slot_jacobians_chunk(qp_f, qv_f, u_f):
         """Exact jacfwd of one smooth step at gathered states
         (nq/nv/nu, K, B) -> J (K, 2n, 2n+nu, B).  Tangent-space
         rows/columns per derivs/fd._tangent_out (quaternion log/exp about
         the nominal next state)."""
         step_plain = build_smooth_step(
-            model, newton_unroll=cfg.lane_newton_unroll
+            model, newton_unroll=cfg.lane_newton_unroll, stacked=True
         )
         qp_nom, qv_nom = step_plain(qp_f, qv_f, u_f)
 
@@ -302,6 +304,40 @@ def make_lane_batch_optimise(task: Task, cfg: ILQRConfig, H: int):
         J = jax.jacfwd(g)(jnp.zeros((2 * n + nu,), dtype))
         # J: (2n, K, B, 2n+nu) -> (K, 2n, 2n+nu, B)
         return J.transpose(1, 0, 3, 2)
+
+    def _slot_jacobians(qp_f, qv_f, u_f):
+        """Chunk the slot axis through lax.map so the (tangents x slots x
+        lanes) stacked intermediates stay inside HBM: the dense stacked
+        Newton operands times 2n+nu jacfwd tangents at K~1000 slots and
+        B~100 lanes peak at ~50 GB unchunked (round-5 TPU probe).  The
+        chunk count is a compile-time constant; each chunk reuses one
+        compiled body."""
+        import os
+
+        K = qp_f.shape[1]
+        B_ = qp_f.shape[2]
+        # ~16k lane-slots per chunk (overridable for tests/tuning)
+        budget = int(os.environ.get("TRAJOPTKP_LANE_JAC_CHUNK", "16384"))
+        target = max(1, budget // max(B_, 1))
+        if K <= target:
+            return _slot_jacobians_chunk(qp_f, qv_f, u_f)
+        ck = target
+        nc = -(-K // ck)
+        pad = nc * ck - K
+
+        def padk(x):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[:, -1:], pad, axis=1)], axis=1
+            ) if pad else x
+
+        qp_c = padk(qp_f).reshape(nq, nc, ck, B_).transpose(1, 0, 2, 3)
+        qv_c = padk(qv_f).reshape(nv, nc, ck, B_).transpose(1, 0, 2, 3)
+        u_c = padk(u_f).reshape(nu, nc, ck, B_).transpose(1, 0, 2, 3)
+        J = jax.lax.map(
+            lambda args: _slot_jacobians_chunk(*args), (qp_c, qv_c, u_c)
+        )                                       # (nc, ck, 2n, C, B)
+        J = J.reshape(nc * ck, 2 * n, 2 * n + nu, B_)
+        return J[:K]
 
     def jacobians_si(qpos, qvel, U):
         """A (H,2n,2n,B), B (H,2n,nu,B): jacfwd at the static SI keypoint
