@@ -44,7 +44,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 def bench_acrobot():
     from trajoptkp_tpu.config.loader import load_scenes_for_task
     from trajoptkp_tpu.solver.ilqr import ILQRConfig
-    from trajoptkp_tpu.solver.lanes import make_lane_batch_optimise
+    from trajoptkp_tpu.solver.lanes import make_lane_phase_optimise
     from trajoptkp_tpu.tasks.toys import make_acrobot
 
     dtype = jnp.float32
@@ -56,7 +56,11 @@ def bench_acrobot():
     cfg = ILQRConfig(max_iterations=10, min_iterations=10,
                      deriv_mode="ad_time")
     B = 512
-    lane = jax.jit(make_lane_batch_optimise(task, cfg, H))
+    # phase-split variant: same lane math, four small programs + host loop —
+    # the one-jit fused program compiles >55 min fresh on the round-5 engine
+    # while the phases compile in minutes (dispatch overhead is ~0.3 ms per
+    # iteration against a ~40 ms phase runtime)
+    lane = make_lane_phase_optimise(task, cfg, H)
 
     # reference scenes (100), tiled to fill the batch
     qpos, qvel, targets = load_scenes_for_task(
@@ -154,10 +158,25 @@ def bench_openloop_lane(task_name, scene_dir, H, method, base_ms, base_red,
 
 
 def main():
+    import os
+
+    t_start = time.perf_counter()
+    # soft wall-clock budget: fresh arm-scale compiles cost minutes each; a
+    # cold-cache run skips the remaining rows instead of overshooting the
+    # driver's patience (the persistent cache makes warm reruns fast)
+    budget_s = float(os.environ.get("TRAJOPTKP_BENCH_BUDGET_S", "2700"))
     out = bench_acrobot()
     rows = {}
     for task_name, scene_dir, H, method, base_ms, base_red in _OPENLOOP_ROWS:
         key = f"{scene_dir}_{method}"
+        if time.perf_counter() - t_start > budget_s:
+            rows[key] = {
+                "metric": f"{scene_dir}_openloop_{method}_H{H}_solves_per_s",
+                "value": 0.0, "unit": "solves/s", "vs_baseline": 0.0,
+                "skipped": "bench wall-clock budget exhausted "
+                           "(cold compile cache)",
+            }
+            continue
         try:
             rows[key] = bench_openloop_lane(
                 task_name, scene_dir, H, method, base_ms, base_red

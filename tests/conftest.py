@@ -20,7 +20,15 @@ import pytest  # noqa: E402
 def rng():
     return jax.random.PRNGKey(0)
 
-# persistent compilation cache: panda-class models produce large XLA graphs;
-# cache compiles across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# NO persistent compilation cache for the CPU test tier: on hosts where
+# XLA:CPU compiles run on a remote helper with different CPU features, the
+# cached AOT executables SEGFAULT on deserialisation (round-5 finding; the
+# loader warns "+prefer-no-scatter ... could lead to execution errors" and
+# then crashes in compilation_cache.get_executable_and_time).  Set
+# TRAJOPTKP_TEST_CACHE_DIR explicitly to opt back in on a homogeneous
+# machine.
+if os.environ.get("TRAJOPTKP_TEST_CACHE_DIR"):
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["TRAJOPTKP_TEST_CACHE_DIR"]
+    )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
