@@ -92,19 +92,21 @@ def sync_mpc_horizon_sweep(
             "mean_running_cost": float(jnp.mean(res.cost_hist)),
             **extra,
         })
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "mpc_horizons.csv"), "w") as f:
-            f.write("horizon,opt_time_ms,median_opt_time_ms,"
-                    "p95_opt_time_ms,replan_rate_hz,mean_running_cost\n")
-            for r in rows:
-                f.write(
-                    f"{r['horizon']},{r['opt_time_ms']:.4g},"
-                    f"{r['median_opt_time_ms']:.4g},"
-                    f"{r['p95_opt_time_ms']:.4g},"
-                    f"{r['replan_rate_hz']:.4g},"
-                    f"{r['mean_running_cost']:.6g}\n"
-                )
+        # write incrementally: arm-scale compiles cost minutes per horizon,
+        # so a partial sweep still leaves a usable committed artifact
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "mpc_horizons.csv"), "w") as f:
+                f.write("horizon,opt_time_ms,median_opt_time_ms,"
+                        "p95_opt_time_ms,replan_rate_hz,mean_running_cost\n")
+                for r in rows:
+                    f.write(
+                        f"{r['horizon']},{r['opt_time_ms']:.4g},"
+                        f"{r['median_opt_time_ms']:.4g},"
+                        f"{r['p95_opt_time_ms']:.4g},"
+                        f"{r['replan_rate_hz']:.4g},"
+                        f"{r['mean_running_cost']:.6g}\n"
+                    )
     return rows
 
 
